@@ -1,0 +1,88 @@
+"""Job entry point: run the extraction + correction pipeline over an
+interleaved-document table and write partitioned parquet output.
+
+Designed for ``ray job submit -- python -m ocr_corrector_ray.cli ...``;
+also runnable directly.  This is the only module (besides bench.py and the
+test fixture) that owns a Ray session.
+
+Examples:
+    python -m ocr_corrector_ray.cli --input /tmp/corpus.parquet --output /tmp/out
+    python -m ocr_corrector_ray.cli --gen-docs 1000 --output /tmp/out --mode fused
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", help="parquet file/dir with the interleaved-doc schema")
+    ap.add_argument("--gen-docs", type=int, default=0,
+                    help="generate a synthetic corpus of N docs instead of --input")
+    ap.add_argument("--output", required=True, help="output directory (parquet)")
+    ap.add_argument("--mode", choices=["explode", "fused"], default="explode")
+    ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 0)) or None)
+    ap.add_argument("--concurrency", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=1024)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args(argv)
+
+    if not args.input and not args.gen_docs:
+        ap.error("one of --input or --gen-docs is required")
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+
+        from . import datagen
+        from .pipelines.correct import corrected_dataset
+
+        if args.input:
+            src = args.input
+            if not os.path.exists(src):
+                print(f"error: input not found: {src}", file=sys.stderr)
+                return 2
+        else:
+            src = datagen.corpus_path(args.gen_docs, seed=args.seed)
+
+        t0 = time.perf_counter()
+        ds = corrected_dataset(
+            src, mode=args.mode, concurrency=args.concurrency, batch_size=args.batch_size
+        )
+        ds.write_parquet(args.output)
+        wall = time.perf_counter() - t0
+
+        out_ds = ray.data.read_parquet(args.output)
+        n_docs = out_ds.count()
+        summary = {
+            "input": src,
+            "output": args.output,
+            "mode": args.mode,
+            "docs": n_docs,
+            "wall_s": round(wall, 3),
+            "docs_per_s": round(n_docs / wall, 2) if wall > 0 else None,
+        }
+        print(json.dumps(summary))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

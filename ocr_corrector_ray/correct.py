@@ -1,0 +1,205 @@
+"""Correction core: configuration, shared per-actor resources, and the
+per-text correction functions used by the Ray actor stages.
+
+The decision logic is a from-scratch restatement of the reference's two
+correctors (citations into /root/reference/corrector/):
+
+- keyword path : keyword_corrector.py:43-108 (exact-set skip -> BK-tree
+  search with distance = #errors capped at len-1 -> structural regex
+  filter -> shape-similarity argmax -> threshold -> substitution;
+  per-text exception => original text returned)
+- LM path      : bert_corrector.py:27-78 (digit normalisation for the model
+  input only, per-error candidate scan with digit skip, admissibility
+  check, confidence x similarity curve; per-text exception => original
+  text returned)
+
+Per-row error containment is part of the conformance surface
+(SURVEY.md §1.2): a poison span must never kill a batch.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+from . import DATA_DIR
+from .functions import textproc
+from .functions.bktree import BKTree
+from .functions.charsim import CharMeta
+from .functions.extract import extract_span
+from .functions.lm import CandidateModel, SyntheticLM
+from .functions.regexes import is_number_char
+
+
+@dataclass
+class CorrectorConfig:
+    """Mirrors the reference's per-biz_type config surface
+    (config/config.json:1-21; keyword_corrector.py:20-31;
+    masked_lm.py:29-43)."""
+
+    prob_threshold: float = 0.9
+    kw_similarity_threshold: float = 0.55
+    topn: int = 3
+    max_seq_length: int = 64
+    curve: str = "02"
+    keywords_file: str = os.path.join(DATA_DIR, "keywords_credit_report.txt")
+
+
+class CorrectorResources:
+    """Everything a corrector actor loads ONCE in ``__init__``: the
+    char-meta similarity table, the BK-tree + keyword set, and the
+    candidate LM (SURVEY.md §2.3 ST1-ST4)."""
+
+    def __init__(self, char_meta: CharMeta, keywords: Sequence[str], lm: CandidateModel):
+        self.char_meta = char_meta
+        self.keywords_list = sorted(set(keywords))
+        self.keywords = set(self.keywords_list)
+        self.bktree = BKTree(self.keywords_list)
+        self.lm = lm
+
+
+import re as _re
+
+
+def correct_keyword_text(
+    text: str,
+    err_positions: Sequence[int],
+    res: CorrectorResources,
+    cfg: CorrectorConfig,
+) -> str:
+    """Correct one span via the keyword/BK-tree path; returns the original
+    text on any internal error (containment, keyword_corrector.py:102-106)."""
+    try:
+        if text in res.keywords:
+            return text
+        err = list(err_positions)
+        distance = len(err)
+        if distance == len(text):
+            distance = len(text) - 1
+        near = res.bktree.search(text, distance)
+        if not near:
+            return text
+        reg, origin = textproc.regulation(text, err)
+        pattern = _re.compile(reg)
+        candidates: List[str] = []
+        for word in near:
+            m = pattern.match(word)
+            if not m:
+                continue
+            candidates.append("".join(m.group(i + 1) for i in range(len(err))))
+        if not candidates:
+            return text
+        sims = [res.char_meta.shape_similarity(origin, cnd) for cnd in candidates]
+        best = max(sims)
+        if best < cfg.kw_similarity_threshold:
+            return text
+        substitution = list(candidates[sims.index(best)])
+        out = list(text)
+        for pos in err:
+            out[pos] = substitution.pop(0)
+        return "".join(out)
+    except Exception:
+        return text
+
+
+def correct_lm_texts(
+    texts: Sequence[str],
+    err_positions: Sequence[Sequence[int]],
+    res: CorrectorResources,
+    cfg: CorrectorConfig,
+) -> List[str]:
+    """Correct a batch of spans via the LM path.  The model consumes
+    digit-normalised sentences; corrections are applied to the ORIGINAL
+    text (bert_corrector.py:37-49).  Per-text exception => original text."""
+    curve = textproc.CURVES[cfg.curve]
+    normed = [textproc.normalize_digits(t) for t in texts]
+    lm_out = res.lm.find_topn_candidates(normed, err_positions)
+    results: List[str] = []
+    for i, text in enumerate(texts):
+        try:
+            err = list(err_positions[i])
+            origin = list(text)
+            for j, e in enumerate(err):
+                if is_number_char(origin[e]):
+                    continue
+                for k in range(cfg.topn):
+                    pred, confidence = lm_out[i][j][k]
+                    # similarity is computed before the equality/admissibility
+                    # checks, exactly as the reference does (it can raise on
+                    # fully-unknown decompositions -> containment).
+                    sim = res.char_meta.shape_similarity(pred, origin[e])
+                    if origin[e] == pred:
+                        continue
+                    if not textproc.check_lm_candidate(origin[e], pred):
+                        continue
+                    if curve(confidence, sim):
+                        origin[e] = pred
+                        break
+            results.append("".join(origin))
+        except Exception:
+            results.append(text)
+    return results
+
+
+def detect_span(
+    text: str,
+    probs: Optional[Sequence[float]],
+    biz: str,
+    cfg: CorrectorConfig,
+) -> Optional[List[int]]:
+    """Eligibility filter + error detection on an (already extracted) span.
+    Returns the suspicious positions, or None when the span passes through
+    uncorrected.
+
+    ``probs`` is None for spans with no recogniser confidences (the
+    reference's ``probs=None`` branch, base_corrector.py:36-39: every
+    position becomes suspect); an EMPTY probs list means "confidences
+    present, nothing suspicious" => pass-through.
+    """
+    if biz == "report":
+        if not textproc.base_correct_filter(text):
+            return None
+    else:
+        if not textproc.lm_correct_filter(text, cfg.max_seq_length):
+            return None
+    if probs is None:
+        return list(range(len(text)))
+    err = textproc.find_err_pos(probs, cfg.prob_threshold)
+    return err if err else None
+
+
+def correct_one_span(
+    kind: str,
+    text: str,
+    probs: Optional[Sequence[float]],
+    biz: str,
+    res: CorrectorResources,
+    cfg: CorrectorConfig,
+) -> str:
+    """Full per-span semantics: extraction -> eligibility filter ->
+    error detection -> correction.  Media spans pass through untouched."""
+    if kind == "image" or not text:
+        return text
+    text = extract_span(kind, text)
+    err = detect_span(text, probs if kind == "text" else None, biz, cfg)
+    if err is None:
+        return text
+    if biz == "report":
+        return correct_keyword_text(text, err, res, cfg)
+    return correct_lm_texts([text], [err], res, cfg)[0]
+
+
+def build_resources(
+    char_meta_data: Dict[str, dict],
+    keywords: Sequence[str],
+    confusion_rev: Dict[str, List[str]],
+    inventory: Sequence[str],
+    topn: int = 3,
+) -> CorrectorResources:
+    """Convenience constructor used by actors and the oracle."""
+    return CorrectorResources(
+        char_meta=CharMeta(char_meta_data),
+        keywords=keywords,
+        lm=SyntheticLM(confusion_rev, inventory, topn=topn),
+    )

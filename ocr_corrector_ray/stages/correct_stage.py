@@ -1,0 +1,165 @@
+"""Stateful corrector stages (actor pools).
+
+``SpanCorrector`` consumes exploded span rows (after extraction);
+``DocCorrector`` is the fused no-shuffle variant consuming whole document
+rows.  Both load the char-meta table, BK-tree + keyword set and the
+candidate LM ONCE per actor in ``__init__`` (the reference builds the same
+state eagerly per corrector instance — SURVEY.md §2.3) and share the
+per-actor shape-similarity memo across batches.
+
+Side data arrives as a ``ray.put`` object ref (broadcast once per node,
+read by every actor) — never re-shipped per batch.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import pyarrow as pa
+
+from .. import datagen
+from ..correct import (
+    CorrectorConfig,
+    build_resources,
+    correct_keyword_text,
+    correct_lm_texts,
+    detect_span,
+)
+from ..functions.extract import extract_span
+
+
+def default_side_data() -> dict:
+    """The broadcastable side-data bundle (char meta, keywords, confusion
+    reverse map, inventory)."""
+    keywords, inventory, _ = datagen.static_tables()
+    return {
+        "char_meta": datagen.build_char_meta(),
+        "keywords": keywords,
+        "confusion_rev": datagen.confusion_rev(),
+        "inventory": inventory,
+    }
+
+
+def _resolve_side(side) -> dict:
+    if side is None:
+        return default_side_data()
+    try:  # ObjectRef -> materialize once per actor
+        import ray
+
+        if isinstance(side, ray.ObjectRef):
+            return ray.get(side)
+    except ImportError:
+        pass
+    return side
+
+
+class _CorrectorBase:
+    def __init__(self, cfg: Optional[CorrectorConfig] = None, side=None):
+        self.cfg = cfg or CorrectorConfig()
+        sd = _resolve_side(side)
+        self.res = build_resources(
+            sd["char_meta"],
+            sd["keywords"],
+            sd["confusion_rev"],
+            sd["inventory"],
+            topn=self.cfg.topn,
+        )
+
+    def _correct_span_lists(
+        self,
+        kinds: List[str],
+        texts: List[str],
+        probs: List[Optional[list]],
+        bizs: List[str],
+    ) -> List[str]:
+        """Shared batch kernel: detect per span, batch all LM-path spans
+        into ONE model call (mirrors the reference's batched inference,
+        masked_lm.py:326-345), correct keyword-path spans inline."""
+        n = len(texts)
+        out = list(texts)
+        lm_idx: List[int] = []
+        lm_texts: List[str] = []
+        lm_errs: List[List[int]] = []
+        for i in range(n):
+            kind = kinds[i]
+            text = texts[i]
+            if kind == "image" or not text:
+                continue
+            p = probs[i] if kind == "text" else None
+            err = detect_span(text, p, bizs[i], self.cfg)
+            if err is None:
+                continue
+            if bizs[i] == "report":
+                out[i] = correct_keyword_text(text, err, self.res, self.cfg)
+            else:
+                lm_idx.append(i)
+                lm_texts.append(text)
+                lm_errs.append(err)
+        if lm_idx:
+            corrected = correct_lm_texts(lm_texts, lm_errs, self.res, self.cfg)
+            for i, c in zip(lm_idx, corrected):
+                out[i] = c
+        return out
+
+
+class SpanCorrector(_CorrectorBase):
+    """Actor-pool stage over exploded span rows: replaces the ``text``
+    column with its corrected form.  Use with
+    ``map_batches(SpanCorrector, fn_constructor_kwargs=..., concurrency=N,
+    batch_format="pyarrow")``."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("kind").to_pylist()
+        texts = batch.column("text").to_pylist()
+        probs = batch.column("probs").to_pylist()
+        bizs = batch.column("biz").to_pylist()
+        out = self._correct_span_lists(kinds, texts, probs, bizs)
+        col_idx = batch.column_names.index("text")
+        return batch.set_column(col_idx, "text", pa.array(out, pa.string()))
+
+
+class DocCorrector(_CorrectorBase):
+    """Fused no-shuffle variant: whole document rows in, corrected document
+    rows (doc_id, spans) out.  Extraction + detection + correction +
+    reassembly happen inside one stage, so no groupby is needed — the
+    right choice when documents are known to be small; the exploded path
+    handles pathological skew."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        bizs = batch.column("biz").to_pylist()
+        spans_col = batch.column("spans").to_pylist()
+        probs_col = (
+            batch.column("probs").to_pylist()
+            if "probs" in batch.column_names
+            else [None] * len(doc_ids)
+        )
+        out_spans = []
+        for spans, probs, biz in zip(spans_col, probs_col, bizs):
+            order = sorted(range(len(spans)), key=lambda i: spans[i]["offset"])
+            kinds, texts, plist = [], [], []
+            for i in order:
+                sp = spans[i]
+                kinds.append(sp["kind"])
+                texts.append(
+                    extract_span(sp["kind"], sp["text"]) if sp["text"] else sp["text"]
+                )
+                plist.append(probs[i] if probs is not None else None)
+            corrected = self._correct_span_lists(kinds, texts, plist, [biz] * len(order))
+            out_spans.append(
+                [
+                    {
+                        "kind": kinds[j],
+                        "text": corrected[j],
+                        "media_ref": spans[i]["media_ref"],
+                        "offset": spans[i]["offset"],
+                    }
+                    for j, i in enumerate(order)
+                ]
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "spans": pa.array(out_spans, type=pa.list_(datagen.SPAN_TYPE)),
+            }
+        )

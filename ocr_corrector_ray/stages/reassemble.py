@@ -1,0 +1,76 @@
+"""Hash-partitioned document reassembly.
+
+The explicit shuffle of the pipeline: corrected span rows are partitioned
+on ``hash(doc_id) % P`` (the ONE partitioning key the pipeline reuses —
+output fragments and the lineage manifest use the same pid), then each
+partition is reassembled VECTORIZED: one sort + one run-length scan + one
+ListArray construction per partition, not one Python call per document.
+
+Skew note: documents were already salted to span granularity by the
+explode stage; a 10^4-span document is just 10^4 rows inside one
+partition, handled by the same vectorized kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..datagen import SPAN_TYPE
+
+OUT_SCHEMA = pa.schema([("doc_id", pa.string()), ("spans", pa.list_(SPAN_TYPE))])
+
+
+def stable_partition_ids(doc_ids, num_partitions: int) -> np.ndarray:
+    """Deterministic (cross-process, PYTHONHASHSEED-independent) partition
+    id per doc_id: pandas' fixed-key siphash."""
+    arr = np.asarray(doc_ids, dtype=object)
+    return (pd.util.hash_array(arr, categorize=False) % num_partitions).astype(np.int32)
+
+
+def add_partition_column(batch: pa.Table, num_partitions: int) -> pa.Table:
+    pids = stable_partition_ids(batch.column("doc_id").to_pylist(), num_partitions)
+    return batch.append_column("pid", pa.array(pids, pa.int32()))
+
+
+def reassemble_partition(part: pa.Table) -> pa.Table:
+    """One hash partition of span rows -> document rows (doc_id, spans),
+    spans sorted by offset within each doc."""
+    if part.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.string()), "spans": pa.array([], pa.list_(SPAN_TYPE))})
+    part = part.combine_chunks()
+    idx = pc.sort_indices(
+        part, sort_keys=[("doc_id", "ascending"), ("offset", "ascending")]
+    )
+    part = part.take(idx)
+    doc = part.column("doc_id")
+    d = np.asarray(doc.to_pandas(), dtype=object)
+    starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+    offsets = np.append(starts, len(d)).astype(np.int32)
+
+    struct = pa.StructArray.from_arrays(
+        [
+            part.column("kind").combine_chunks(),
+            part.column("text").combine_chunks(),
+            part.column("media_ref").combine_chunks(),
+            part.column("offset").combine_chunks(),
+        ],
+        fields=list(SPAN_TYPE),
+    )
+    spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+    return pa.table({"doc_id": pa.array(d[starts], pa.string()), "spans": spans})
+
+
+def reassemble(ds, num_partitions: int):
+    """span-row Dataset -> document Dataset via the explicit hash shuffle."""
+    ds = ds.map_batches(
+        add_partition_column,
+        batch_format="pyarrow",
+        fn_kwargs={"num_partitions": num_partitions},
+    )
+    return ds.groupby("pid").map_groups(
+        lambda t: reassemble_partition(t.drop_columns(["pid"])),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,65 @@
+"""End-to-end conformance: both physical plans of the Ray pipeline must
+reproduce the serial oracle's span sequences exactly —
+``(kind, text, media_ref, order)`` per document (FIXTURES.md §2)."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_corrector_ray import datagen, oracle
+from ocr_corrector_ray.pipelines.correct import corrected_dataset
+
+N_DOCS = 400
+
+
+def _span_key(spans):
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    return datagen.corpus_path(N_DOCS)
+
+
+@pytest.fixture(scope="module")
+def expected(corpus, resources, cfg):
+    docs = pq.read_table(corpus).to_pylist()
+    rows = oracle.correct_table(docs, resources, cfg)
+    return {r["doc_id"]: _span_key(r["spans"]) for r in rows}
+
+
+@pytest.mark.parametrize("mode", ["explode", "fused"])
+def test_pipeline_matches_oracle(ray_session, corpus, expected, cfg, mode):
+    out = corrected_dataset(corpus, cfg, mode=mode).take_all()
+    got = {r["doc_id"]: _span_key(r["spans"]) for r in out}
+    assert set(got) == set(expected)
+    mismatched = [k for k in expected if got[k] != expected[k]]
+    assert mismatched == []
+
+
+def test_modes_agree_and_spans_ordered(ray_session, corpus, cfg):
+    a = corrected_dataset(corpus, cfg, mode="explode").take_all()
+    b = corrected_dataset(corpus, cfg, mode="fused").take_all()
+    da = {r["doc_id"]: _span_key(r["spans"]) for r in a}
+    db = {r["doc_id"]: _span_key(r["spans"]) for r in b}
+    assert da == db
+    for spans in da.values():
+        offs = [s[3] for s in spans]
+        assert offs == sorted(offs)
+
+
+def test_media_spans_byte_identical(ray_session, corpus, cfg):
+    src = {
+        r["doc_id"]: sorted(
+            ((s["offset"], s["media_ref"]) for s in r["spans"] if s["kind"] == "image")
+        )
+        for r in pq.read_table(corpus).to_pylist()
+    }
+    out = corrected_dataset(corpus, cfg, mode="explode").take_all()
+    for r in out:
+        media = sorted(
+            (s["offset"], s["media_ref"]) for s in r["spans"] if s["kind"] == "image"
+        )
+        assert media == src[r["doc_id"]]
+        for s in r["spans"]:
+            if s["kind"] == "image":
+                assert s["text"] == ""
