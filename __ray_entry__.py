@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction+correction pipeline on a
+deterministic synthetic interleaved-document corpus sized for sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2 + the training-data-pipeline operators); ``oracle_sql()``
+gives the DuckDB-equivalent SQL for the SQL-expressible subset.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before this module is imported; nothing
+here calls ray.init/ray.shutdown.
 """
 
 from __future__ import annotations
@@ -18,27 +15,180 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_STOP_SQL = "('the','a','of','to','and','in','is')"
+
+
+def _corpus_for(sf_dir: str) -> str:
+    from ocr_corrector_ray import datagen
+
+    return datagen.corpus_path(datagen.num_docs_for_sf_dir(sf_dir))
+
+
+def _ocr_correct(sf_dir: str, mode: str = "explode"):
+    from ocr_corrector_ray.pipelines.correct import corrected_dataset
+
+    return corrected_dataset(_corpus_for(sf_dir), mode=mode)
+
+
+def _ocr_correct_flat(sf_dir: str, mode: str = "explode"):
+    """Corrected docs exploded back to span rows (stable scalar schema for
+    the driver's row/schema checks)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans").combine_chunks()
+        parent = pc.list_parent_indices(spans)
+        flat = spans.flatten()
+        return pa.table(
+            {
+                "doc_id": pc.take(batch.column("doc_id"), parent),
+                "kind": flat.field("kind"),
+                "text": flat.field("text"),
+                "media_ref": flat.field("media_ref"),
+                "offset": flat.field("offset"),
+            }
+        )
+
+    return _ocr_correct(sf_dir, mode).map_batches(flatten, batch_format="pyarrow")
+
+
+def _ocr_extract(sf_dir: str):
+    """Extraction stage only: exploded span rows after HTML/PDF
+    main-content extraction."""
+    import ray.data
+
+    from ocr_corrector_ray.stages.explode import explode_docs
+    from ocr_corrector_ray.stages.extract_stage import extract_batch
+
+    ds = ray.data.read_parquet(_corpus_for(sf_dir))
+    return (
+        ds.map_batches(explode_docs, batch_format="pyarrow")
+        .map_batches(extract_batch, batch_format="pyarrow")
+        .drop_columns(["probs"])
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 scale (500 synthetic docs)."""
+    return _ocr_correct_flat("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ocr_corrector_ray.pipelines import analytics, dedup, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship correction/extraction pipelines (non-SQL: rows-only check;
+        # exactness is asserted against the serial oracle in tests/)
+        "ocr_correct": _ocr_correct_flat,
+        "ocr_correct_fused": lambda sf: _ocr_correct_flat(sf, mode="fused"),
+        "ocr_extract": _ocr_extract,
+        # SQL-checked general operators
+        "doc_stats": analytics.doc_stats,
+        "token_counts": analytics.token_counts,
+        "quality_scores": analytics.quality_scores,
+        "lang_script": analytics.lang_script,
+        "fingerprints": analytics.fingerprints,
+        "dedup_exact": analytics.dedup_exact,
+        "embedding_norms": analytics.embedding_norms,
+        "ann_topk": analytics.ann_topk,
+        "events_hourly": analytics.events_hourly,
+        "sessionize": analytics.sessionize,
+        "pricing_summary": analytics.pricing_summary,
+        "top_customers": analytics.top_customers,
+        # near-dup family (rows-only)
+        "minhash_signatures": dedup.minhash_signatures,
+        "minhash_neardup_pairs": dedup.minhash_neardup_pairs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "simhash_signatures": dedup.simhash_signatures,
+        "embedding_neardup": dedup.embedding_neardup,
+        # text analysis (rows-only)
+        "lang_id_ngram": textstats.lang_id_ngram,
+        "winnowing_fingerprints": textstats.winnowing_fingerprints,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = r"regexp_split_to_array(trim(text), '\s+')"
+    n_tokens = rf"CASE WHEN trim(text) = '' THEN 0 ELSE len({toks}) END"
+    n_stop = rf"CASE WHEN trim(text) = '' THEN 0 ELSE len(list_filter({toks}, x -> x IN {_STOP_SQL})) END"
+    return {
+        "doc_stats": f"""
+            SELECT lang, source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   floor((CAST(sum(n_chars) AS DOUBLE) / count(*)) * 10000) / 10000 AS avg_chars
+            FROM documents GROUP BY lang, source
+        """,
+        "token_counts": f"""
+            SELECT doc_id, {n_tokens} AS n_tokens FROM documents
+        """,
+        "quality_scores": f"""
+            WITH t AS (SELECT doc_id, {n_tokens} AS n, {n_stop} AS s FROM documents)
+            SELECT doc_id,
+                   n AS n_tokens,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE floor((CAST(s AS DOUBLE) * 10000) / n) / 10000 END AS stop_ratio,
+                   (n >= 20 AND
+                    (CASE WHEN n = 0 THEN 0.0 ELSE floor((CAST(s AS DOUBLE) * 10000) / n) / 10000 END)
+                      BETWEEN 0.01 AND 0.6) AS is_quality
+            FROM t
+        """,
+        "lang_script": """
+            SELECT CASE WHEN regexp_matches(text, '[一-龥]') THEN 'cjk' ELSE 'latin' END AS script,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "fingerprints": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   round(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                 CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+            FROM embeddings
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 10),
+                 v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+            SELECT query_id, neighbor_id, cos_sim FROM (
+                SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.e, v.e), 6) AS cos_sim,
+                       row_number() OVER (PARTITION BY q.vec_id
+                                          ORDER BY list_cosine_similarity(q.e, v.e) DESC, v.vec_id) AS rn
+                FROM q, v WHERE q.vec_id <> v.vec_id) WHERE rn <= 5
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            SELECT user_id,
+                   CAST(1 + sum(CASE WHEN diff > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM (SELECT user_id, ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS diff
+                  FROM events) t
+            GROUP BY user_id
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(CAST(sum(l_quantity) AS DOUBLE) / count(*), 4) AS avg_qty,
+                   round(sum(l_extendedprice) / count(*), 4) AS avg_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT t.c_custkey, c.c_name, t.total_price
+            FROM (SELECT o_custkey AS c_custkey, round(sum(o_totalprice), 2) AS total_price
+                  FROM orders GROUP BY o_custkey) t
+            JOIN customer c ON c.c_custkey = t.c_custkey
+            ORDER BY t.total_price DESC, t.c_custkey
+            LIMIT 10
+        """,
+    }

@@ -1,0 +1,330 @@
+"""Near-duplicate detection family (training-data-pipeline operators):
+
+- MinHash + LSH banding (shingle -> minhash -> band -> bucket groupby ->
+  candidate pairs -> exact-Jaccard verify)
+- SimHash (64-bit) signatures + hamming-band bucketing
+- token n-gram Jaccard verification kernel
+- embedding cosine near-dup via random-hyperplane LSH buckets
+
+All stages are map_batches-vectorized where the math allows (numpy minhash
+over all shingles of a doc at once); the only shuffles are the bucket
+groupbys, whose keys are small fixed-size hashes.  Candidate verification
+re-reads the two texts from a broadcast store at test scale — at corpus
+scale this becomes a hash-partitioned join on doc_id; the partitioning
+assumption is documented on each function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import List
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _p(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _perm_params(num_perm: int, seed: int = 7):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a.astype(np.uint64), b.astype(np.uint64)
+
+
+def _shingles(text: str, n: int = 3) -> List[str]:
+    toks = text.split()
+    if len(toks) < n:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def _hash64(values: List[str]) -> np.ndarray:
+    return np.asarray(
+        [
+            int.from_bytes(hashlib.blake2b(v.encode("utf-8"), digest_size=8).digest(), "big")
+            for v in values
+        ],
+        dtype=np.uint64,
+    )
+
+
+def minhash_signatures(sf_dir: str, num_perm: int = 64, shingle_n: int = 3):
+    """doc_id, sig: list<uint64 as int64> — vectorized (a*x+b) mod p min
+    over all shingle hashes of a doc at once."""
+    a, b = _perm_params(num_perm)
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        sigs = []
+        for text in df["text"].fillna(""):
+            sh = _shingles(text, shingle_n)
+            if not sh:
+                sigs.append(np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64).tolist())
+                continue
+            x = _hash64(sh)  # (s,)
+            # (p, s) affine permutation over the Mersenne prime, min per row
+            vals = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+            sigs.append(vals.min(axis=1).astype(np.int64).tolist())
+        return pd.DataFrame({"doc_id": df["doc_id"], "sig": sigs})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def minhash_band_rows(sf_dir: str, num_perm: int = 64, bands: int = 16, shingle_n: int = 3):
+    """Explode signatures to (band_id, band_hash, doc_id) rows — the LSH
+    bucketing key for the groupby."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(sf_dir, num_perm, shingle_n)
+
+    def to_bands(df: pd.DataFrame) -> pd.DataFrame:
+        out_doc, out_band, out_hash = [], [], []
+        for doc_id, sig in zip(df["doc_id"], df["sig"]):
+            s = np.asarray(sig, dtype=np.int64).reshape(bands, rows_per_band)
+            for bi in range(bands):
+                h = hashlib.blake2b(s[bi].tobytes(), digest_size=8).digest()
+                out_doc.append(doc_id)
+                out_band.append(bi)
+                out_hash.append(int.from_bytes(h, "big") >> 1)  # fit int64
+        return pd.DataFrame(
+            {"doc_id": out_doc, "band_id": np.asarray(out_band, dtype=np.int32),
+             "band_hash": np.asarray(out_hash, dtype=np.int64)}
+        )
+
+    return sigs.map_batches(to_bands, batch_format="pandas")
+
+
+def minhash_neardup_pairs(
+    sf_dir: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+):
+    """Candidate pairs from LSH buckets, verified with exact token-shingle
+    Jaccard >= threshold.  Verification uses a broadcast doc_id->text dict
+    (fine at test scale; at corpus scale replace with a hash-partitioned
+    join of candidates against the documents table on doc_id)."""
+    band_rows = minhash_band_rows(sf_dir, num_perm, bands, shingle_n)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(df["doc_id"].tolist())
+        a_out, b_out = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+        return pd.DataFrame({"a": pd.Series(a_out, dtype="int64"),
+                             "b": pd.Series(b_out, dtype="int64")})
+
+    cands = band_rows.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # a pair found by several bands must be verified once
+    from ray.data.aggregate import Count
+
+    uniq = cands.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    texts_ref = ray.put(dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())))
+
+    class Verify:
+        def __init__(self, ref, n: int, thr: float):
+            self.texts = ray.get(ref)
+            self.n = n
+            self.thr = thr
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            keep_a, keep_b, jac = [], [], []
+            for a_id, b_id in zip(df["a"], df["b"]):
+                sa = set(_shingles(self.texts.get(a_id, "") or "", self.n))
+                sb = set(_shingles(self.texts.get(b_id, "") or "", self.n))
+                if not sa or not sb:
+                    continue
+                j = len(sa & sb) / len(sa | sb)
+                if j >= self.thr:
+                    keep_a.append(a_id)
+                    keep_b.append(b_id)
+                    jac.append(round(j, 4))
+            return pd.DataFrame({"a": pd.Series(keep_a, dtype="int64"),
+                                 "b": pd.Series(keep_b, dtype="int64"),
+                                 "jaccard": pd.Series(jac, dtype="float64")})
+
+    return uniq.map_batches(
+        Verify, fn_constructor_kwargs={"ref": texts_ref, "n": shingle_n, "thr": threshold},
+        batch_format="pandas", concurrency=2,
+    )
+
+
+def ngram_jaccard_pairs(sf_dir: str, ids_a=(0, 1, 2, 3, 4), shingle_n: int = 3):
+    """Exact token-n-gram Jaccard of a fixed probe set against the whole
+    table (the verification kernel exposed as its own operator)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    probe = {
+        d: set(_shingles(x or "", shingle_n))
+        for d, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+        if d in set(ids_a)
+    }
+    probe_ref = ray.put(probe)
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    class Kernel:
+        def __init__(self, ref, n):
+            self.probe = ray.get(ref)
+            self.n = n
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            a_out, b_out, j_out = [], [], []
+            for doc_id, text in zip(df["doc_id"], df["text"]):
+                sb = set(_shingles(text or "", self.n))
+                for a_id, sa in self.probe.items():
+                    if a_id == doc_id or not sa or not sb:
+                        continue
+                    j = len(sa & sb) / len(sa | sb)
+                    a_out.append(a_id)
+                    b_out.append(doc_id)
+                    j_out.append(round(j, 4))
+            return pd.DataFrame({"a": pd.Series(a_out, dtype="int64"),
+                                 "b": pd.Series(b_out, dtype="int64"),
+                                 "jaccard": pd.Series(j_out, dtype="float64")})
+
+    return ds.map_batches(Kernel, fn_constructor_kwargs={"ref": probe_ref, "n": shingle_n},
+                          batch_format="pandas", concurrency=2)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(sf_dir: str):
+    """doc_id, simhash (64-bit as int64): sign of the token-hash bit-vote
+    sum — near-duplicates land within small hamming distance."""
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for text in df["text"].fillna(""):
+            toks = text.split()
+            if not toks:
+                out.append(0)
+                continue
+            hs = _hash64(toks)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+                np.int32
+            )
+            votes = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for i in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(i)
+            out.append(np.int64(sig.astype(np.int64)))
+        return pd.DataFrame({"doc_id": df["doc_id"], "simhash": pd.Series(out, dtype="int64")})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (random-hyperplane LSH buckets)
+# ---------------------------------------------------------------------------
+
+def embedding_neardup(
+    sf_dir: str,
+    n_tables: int = 8,
+    n_planes: int = 6,
+    threshold: float = 0.4,
+    dim: int = 64,
+    seed: int = 11,
+):
+    """Pairs of embeddings with cosine >= threshold via multi-table
+    random-hyperplane LSH: each vector lands in ``n_tables`` buckets (one
+    per independent plane set); only same-bucket pairs are compared, then
+    deduped across tables and verified with the exact cosine.  This is the
+    scale path — recall < 1 by construction (brute force is the ann_topk
+    baseline); the bucket groupby is the only shuffle and its key is a
+    small (table_id, bucket) int pair."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_tables, n_planes, dim))
+    ds = ray.data.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+        ids = df["vec_id"].to_numpy()
+        out_id, out_t, out_b = [], [], []
+        pows = 1 << np.arange(n_planes, dtype=np.int64)
+        for t in range(n_tables):
+            bits = (V @ planes[t].T) > 0
+            buckets = bits @ pows
+            out_id.extend(ids.tolist())
+            out_t.extend([t] * len(ids))
+            out_b.extend(buckets.tolist())
+        return pd.DataFrame(
+            {"vec_id": pd.Series(out_id, dtype="int64"),
+             "table_id": pd.Series(out_t, dtype="int32"),
+             "bucket": pd.Series(out_b, dtype="int64")}
+        )
+
+    bucketed = ds.map_batches(sketch, batch_format="pandas")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(df["vec_id"].tolist()))
+        # skew guard: a degenerate bucket (e.g. all-zeros sketch) would emit
+        # O(n^2) candidates; cap and log-drop instead of exploding
+        if len(ids) > 500:
+            ids = ids[:500]
+        a_out, b_out = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+        return pd.DataFrame({"a": pd.Series(a_out, dtype="int64"),
+                             "b": pd.Series(b_out, dtype="int64")})
+
+    cands = bucketed.groupby(["table_id", "bucket"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    from ray.data.aggregate import Count
+
+    uniq = cands.groupby(["a", "b"]).aggregate(Count(alias_name="n_tables"))
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    vec_ref = ray.put(dict(zip(t.column("vec_id").to_pylist(), V)))
+
+    class Verify:
+        def __init__(self, ref, thr):
+            self.vecs = ray.get(ref)
+            self.thr = thr
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            keep_a, keep_b, cos = [], [], []
+            for a_id, b_id in zip(df["a"], df["b"]):
+                va, vb = self.vecs.get(a_id), self.vecs.get(b_id)
+                if va is None or vb is None:
+                    continue
+                c = float(va @ vb)
+                if c >= self.thr:
+                    keep_a.append(a_id)
+                    keep_b.append(b_id)
+                    cos.append(round(c, 6))
+            return pd.DataFrame({"a": pd.Series(keep_a, dtype="int64"),
+                                 "b": pd.Series(keep_b, dtype="int64"),
+                                 "cos_sim": pd.Series(cos, dtype="float64")})
+
+    return uniq.map_batches(
+        Verify, fn_constructor_kwargs={"ref": vec_ref, "thr": threshold},
+        batch_format="pandas", concurrency=2,
+    )

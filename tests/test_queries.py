@@ -1,0 +1,75 @@
+"""Regression guard for the driver contract: a sample of SQL-checked
+queries compared against their DuckDB oracles at sf0.001, plus shape
+checks for the rows-only operators.  (The driver runs the full gate at
+sf0.01; scripts/check_queries.py mirrors it locally.)"""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+SQL_SAMPLE = [
+    "doc_stats",
+    "quality_scores",
+    "dedup_exact",
+    "ann_topk",
+    "sessionize",
+    "pricing_summary",
+    "top_customers",
+]
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+@pytest.fixture(scope="module")
+def con():
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+@pytest.mark.parametrize("name", SQL_SAMPLE)
+def test_query_matches_oracle(ray_session, con, name):
+    got = entrymod.queries()[name](SF_DIR).to_pandas()
+    exp = con.execute(entrymod.oracle_sql()[name]).df()
+    g, x = _normalize(got), _normalize(exp)
+    assert list(g.columns) == list(x.columns)
+    assert len(g) == len(x)
+    pd.testing.assert_frame_equal(g, x, check_dtype=False, check_exact=True)
+
+
+def test_every_sql_oracle_has_a_query():
+    q = entrymod.queries()
+    for name in entrymod.oracle_sql():
+        assert name in q
+
+
+def test_entry_runs(ray_session):
+    ds = entrymod.entry()
+    n = ds.count()
+    assert n > 0
+    cols = set(ds.schema().names)
+    assert {"doc_id", "kind", "text", "media_ref", "offset"} <= cols
+
+
+def test_rows_only_queries_shapes(ray_session):
+    q = entrymod.queries()
+    mh = q["minhash_signatures"](SF_DIR).to_pandas()
+    assert len(mh) == 500 and len(mh["sig"].iloc[0]) == 64
+    sh = q["simhash_signatures"](SF_DIR).to_pandas()
+    assert len(sh) == 500 and sh["simhash"].dtype == "int64"
+    li = q["lang_id_ngram"](SF_DIR).to_pandas()
+    assert set(li["lang_pred"]) <= {"en", "es", "de", "fr", "und"}
