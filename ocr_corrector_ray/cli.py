@@ -26,6 +26,10 @@ def main(argv=None) -> int:
                     help="generate a synthetic corpus of N docs instead of --input")
     ap.add_argument("--output", required=True, help="output directory (parquet)")
     ap.add_argument("--mode", choices=["explode", "fused"], default="explode")
+    ap.add_argument("--checkpoint", action="store_true",
+                    help="resumable run: per-partition fragments + lineage manifest "
+                         "under --output; rerun skips completed partitions")
+    ap.add_argument("--num-partitions", type=int, default=32)
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 0)) or None)
     ap.add_argument("--concurrency", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=1024)
@@ -62,6 +66,23 @@ def main(argv=None) -> int:
             src = datagen.corpus_path(args.gen_docs, seed=args.seed)
 
         t0 = time.perf_counter()
+        if args.checkpoint:
+            from .state.checkpoint import read_corrected, run_checkpointed
+
+            manifest = run_checkpointed(
+                src, args.output, num_partitions=args.num_partitions,
+                concurrency=args.concurrency,
+            )
+            wall = time.perf_counter() - t0
+            n_docs = read_corrected(args.output).count()
+            summary = {
+                "input": src, "output": args.output, "mode": "checkpointed",
+                "docs": n_docs, "partitions": manifest.num_rows,
+                "wall_s": round(wall, 3),
+                "docs_per_s": round(n_docs / wall, 2) if wall > 0 else None,
+            }
+            print(json.dumps(summary))
+            return 0
         ds = corrected_dataset(
             src, mode=args.mode, concurrency=args.concurrency, batch_size=args.batch_size
         )

@@ -342,9 +342,16 @@ def _make_doc(doc_idx: int, seed: int, keywords, inj) -> Tuple[str, str, list, l
                 payload = kw
             p_err = 0.35
         else:
-            payload = TEMPLATES[rng.randrange(len(TEMPLATES))]
+            # realistic diversity: spans are fresh combinations of template
+            # fragments, so almost every (text, err) pair in the corpus is
+            # unique — repeated-span caches must not carry the benchmark
+            t1 = TEMPLATES[rng.randrange(len(TEMPLATES))]
+            t2 = TEMPLATES[rng.randrange(len(TEMPLATES))]
+            cut1 = rng.randint(6, max(7, len(t1) - 1))
+            cut2 = rng.randint(4, max(5, len(t2) - 1))
+            payload = (t1[:cut1] + t2[len(t2) - cut2 :])[:60]
             if u < 0.05:
-                payload = payload + payload  # > max_seq_length-2 trap
+                payload = (t1 + t2)[:70]  # > max_seq_length-2 trap
             elif u < 0.10:
                 payload = "ref no. AB12"  # ASCII trap (LM filter rejects)
             elif u < 0.14:
@@ -391,18 +398,48 @@ def gen_corpus(num_docs: int, seed: int = 42) -> pa.Table:
     )
 
 
-def corpus_path(num_docs: int, seed: int = 42, root: str = "/tmp/ocr_ray_corpus") -> str:
-    """Generate-once parquet cache (atomic rename so concurrent callers are
-    safe); returns the parquet file path."""
+def corpus_path(
+    num_docs: int, seed: int = 42, root: str = "/tmp/ocr_ray_corpus", docs_per_file: int = 1000
+) -> str:
+    """Generate-once parquet cache; returns a DIRECTORY of part files (one
+    per ``docs_per_file`` docs) so a distributed read parallelises instead
+    of funnelling through a single read task.  Atomic rename makes
+    concurrent callers safe."""
     import pyarrow.parquet as pq
 
     os.makedirs(root, exist_ok=True)
-    path = os.path.join(root, f"corpus_s{seed}_n{num_docs}_v1.parquet")
-    if not os.path.exists(path):
-        table = gen_corpus(num_docs, seed)
+    path = os.path.join(root, f"corpus_s{seed}_n{num_docs}_v3")
+    if not os.path.isdir(path):
         tmp = path + f".tmp.{os.getpid()}"
-        pq.write_table(table, tmp)
-        os.replace(tmp, path)
+        os.makedirs(tmp, exist_ok=True)
+        for part, start in enumerate(range(0, num_docs, docs_per_file)):
+            keywords, _, _ = static_tables()
+            inj = injection_map()
+            doc_ids, bizs, spans_col, probs_col = [], [], [], []
+            for i in range(start, min(start + docs_per_file, num_docs)):
+                doc_id, biz, spans, probs = _make_doc(i, seed, keywords, inj)
+                doc_ids.append(doc_id)
+                bizs.append(biz)
+                spans_col.append(spans)
+                probs_col.append(probs)
+            table = pa.table(
+                {
+                    "doc_id": doc_ids,
+                    "biz": bizs,
+                    "spans": pa.array(spans_col, type=pa.list_(SPAN_TYPE)),
+                    "probs": pa.array(probs_col, type=pa.list_(pa.list_(pa.float32()))),
+                },
+                schema=DOC_SCHEMA,
+            )
+            pq.write_table(table, os.path.join(tmp, f"part-{part:05d}.parquet"))
+        try:
+            os.replace(tmp, path)
+        except OSError:
+            if not os.path.isdir(path):  # lost a race in some other way
+                raise
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 

@@ -33,11 +33,28 @@ Candidate = Tuple[str, float]
 MASK_ERROR_LIMIT = 3  # masked_lm.py:293: <=3 errors -> [MASK], else keep
 
 
-def _unit_hash(*parts: object) -> float:
-    """Deterministic float in [0, 1) from md5 (independent of
-    PYTHONHASHSEED; stable across processes and nodes)."""
-    h = hashlib.md5("\x1f".join(str(p) for p in parts).encode("utf-8")).digest()
-    return int.from_bytes(h[:8], "big") / 2**64
+_MASK64 = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    """Deterministic 64-bit mixer (splitmix64) — derives independent
+    streams from one digest without re-hashing."""
+    x = (x + 0x9E3779B97F4A7C15) & _MASK64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _MASK64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _MASK64
+    return x ^ (x >> 31)
+
+
+def _pos_seed(sent: str, pos: int) -> int:
+    """One md5 per (sentence, position); all per-candidate randomness is
+    derived from it via splitmix64 (PYTHONHASHSEED-independent, stable
+    across processes and nodes — and ~10x cheaper than hashing per salt)."""
+    h = hashlib.md5(f"{sent}\x1f{pos}".encode("utf-8")).digest()
+    return int.from_bytes(h[:8], "big")
+
+
+def _unit(seed: int, salt: int) -> float:
+    return _splitmix64(seed ^ (salt * 0xA24BAED4963EE407)) / 2**64
 
 
 class CandidateModel:
@@ -80,9 +97,9 @@ class SyntheticLM(CandidateModel):
 
     def _candidates_for(self, sent: str, pos: int, n_errors: int) -> List[Candidate]:
         ch = sent[pos] if 0 <= pos < len(sent) else ""
-        u0 = _unit_hash(sent, pos, 0)
-        u1 = _unit_hash(sent, pos, 1)
-        u2 = _unit_hash(sent, pos, 2)
+        seed = _pos_seed(sent, pos)
+        u0 = _unit(seed, 0)
+        u1 = _unit(seed, 1)
         cands: List[Candidate] = []
 
         if n_errors > MASK_ERROR_LIMIT and ch:
@@ -98,8 +115,8 @@ class SyntheticLM(CandidateModel):
         inv = self.inventory
         k = 0
         while len(cands) < self.topn:
-            uk = _unit_hash(sent, pos, 10 + k)
-            conf = 0.049 * _unit_hash(sent, pos, 20 + k)
+            uk = _unit(seed, 10 + k)
+            conf = 0.049 * _unit(seed, 20 + k)
             if uk < 0.06:
                 cand = "[UNK]"
             elif uk < 0.12:

@@ -37,6 +37,26 @@ def _cluster_cpus() -> int:
         return 4
 
 
+def enable_hash_shuffle() -> None:
+    """Opt in to Ray's hash-based shuffle implementation (used by the
+    reassembly's explicit hash(doc_id) repartition — no global sort
+    barrier).  Must run BEFORE the input Dataset is created: datasets
+    snapshot the DataContext at creation time.
+
+    The aggregator actors get fractional CPUs and the default hash
+    parallelism is bounded to the cluster size — the stock defaults
+    (1 CPU/partition, 200 partitions) deadlock against actor pools on
+    small CPU counts."""
+    try:
+        from ray.data.context import DataContext, ShuffleStrategy
+    except ImportError:
+        return
+    ctx = DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
+    ctx.default_hash_shuffle_parallelism = max(4, _cluster_cpus())
+
+
 def corrected_dataset(
     source,
     cfg: Optional[CorrectorConfig] = None,
@@ -45,6 +65,7 @@ def corrected_dataset(
     batch_size: int = 1024,
     num_partitions: Optional[int] = None,
     side_ref=None,
+    per_group=None,
 ):
     """Build the (lazy) corrected-document Dataset.
 
@@ -53,14 +74,24 @@ def corrected_dataset(
     ``ray.put`` ref of the side-data bundle; created once here otherwise.
     """
     cfg = cfg or CorrectorConfig()
+    enable_hash_shuffle()
     if isinstance(source, str):
         ds = ray.data.read_parquet(source)
     else:
         ds = source
 
     cpus = _cluster_cpus()
-    concurrency = concurrency or max(2, cpus - 2)
-    num_partitions = num_partitions or 4 * cpus
+    num_partitions = num_partitions or cpus
+    # actor-pool sizing: actors HOLD their CPUs, so the pool plus the
+    # hash-shuffle aggregator actors (0.05 CPU x partitions) must leave
+    # whole CPUs free for the transient tasks (read / reassembly) or the
+    # pipeline deadlocks.  Half the cluster is a deliberately PROPORTIONAL
+    # default — the corrector:everything-else CPU split stays constant
+    # across cluster sizes, which both pipelines well and makes scaling
+    # measurements honest (a pool share that grows with cluster size shows
+    # fake super-linear scaling).
+    if concurrency is None:
+        concurrency = max(1, cpus // 2)
     if side_ref is None:
         side_ref = ray.put(default_side_data())
 
@@ -78,10 +109,14 @@ def corrected_dataset(
     spans = spans.map_batches(extract_batch, batch_format="pyarrow")
     spans = spans.map_batches(
         SpanCorrector,
-        fn_constructor_kwargs={"cfg": cfg, "side": side_ref},
+        fn_constructor_kwargs={
+            "cfg": cfg,
+            "side": side_ref,
+            "num_partitions": num_partitions,  # fused pid hashing
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
     )
-    return reassemble(spans, num_partitions)
+    return reassemble(spans, num_partitions, per_group=per_group, has_pid=True)

@@ -1,0 +1,159 @@
+"""Offline training-data tooling (the Ray-native face of the reference's
+create_data.py pipeline, SURVEY.md §2.1 S9 / §2.5 A6):
+
+- ``correction_pairs``: join original and corrected span streams into
+  aligned (wrong, correct) sentence pairs — the reference's
+  wrong.txt/correct.txt writer re-expressed as a Dataset.
+- ``confusion_counts``: per-(wrong_char, correct_char) frequency counts —
+  the reference's confusion statistics (create_data.py:85-90), done as a
+  partial aggregation inside map_batches (one count row per pair per
+  batch) followed by a small groupby, instead of a shuffle of every char.
+- ``sentence_split``: the training sentence splitter (create_data.py:6-27)
+  as a flat_map-style batch transform.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Sum
+
+
+def correction_pairs(original_ds, corrected_ds=None, cfg=None):
+    """(doc_id, offset, wrong, correct) rows for every span the corrector
+    changed.  If ``corrected_ds`` is None, the correction pipeline runs
+    inline (fused plan) so original and corrected text live in one pass —
+    no join needed."""
+    from ..stages.correct_stage import DocCorrector, default_side_data
+    from ..stages.explode import explode_docs
+
+    import ray
+
+    if corrected_ds is None:
+        side = ray.put(default_side_data())
+
+        class PairEmitter(DocCorrector):
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                out = super().__call__(batch)
+                orig_spans = explode_docs(batch)
+                corr = out.column("spans").combine_chunks()
+                parent = pc.list_parent_indices(corr)
+                flat = corr.flatten()
+                corr_tbl = pa.table(
+                    {
+                        "doc_id": pc.take(out.column("doc_id"), parent),
+                        "offset": flat.field("offset"),
+                        "correct": flat.field("text"),
+                    }
+                )
+                # originals arrive offset-sorted from explode within doc;
+                # corrected spans are offset-sorted by construction
+                o = orig_spans.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
+                c = corr_tbl.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
+                wrong = o.column("text")
+                correct = c.column("correct")
+                changed = pc.invert(pc.equal(wrong, correct))
+                return pa.table(
+                    {
+                        "doc_id": pc.filter(c.column("doc_id"), changed),
+                        "offset": pc.filter(c.column("offset"), changed),
+                        "wrong": pc.filter(wrong, changed),
+                        "correct": pc.filter(correct, changed),
+                    }
+                )
+
+        return original_ds.map_batches(
+            PairEmitter,
+            fn_constructor_kwargs={"cfg": cfg, "side": side},
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 8),
+            num_cpus=1,
+        )
+    raise NotImplementedError("join-based pairing lands with the partitioned join operator")
+
+
+def confusion_counts(pairs_ds):
+    """(wrong_char, correct_char, n) from aligned pair rows.  Partial
+    aggregation per batch (value_counts) then a tiny groupby-sum."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {}
+        for wrong, correct in zip(df["wrong"], df["correct"]):
+            if len(wrong) != len(correct):
+                continue  # alignment guard (create_data.py:62-68)
+            for wc, cc in zip(wrong, correct):
+                if wc != cc:
+                    rows[(wc, cc)] = rows.get((wc, cc), 0) + 1
+        if not rows:
+            return pd.DataFrame({"wrong_char": pd.Series([], dtype="object"),
+                                 "correct_char": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        keys = list(rows)
+        return pd.DataFrame(
+            {
+                "wrong_char": [k[0] for k in keys],
+                "correct_char": [k[1] for k in keys],
+                "n": pd.Series([rows[k] for k in keys], dtype="int64"),
+            }
+        )
+
+    partials = pairs_ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby(["wrong_char", "correct_char"]).aggregate(Sum("n", alias_name="n"))
+
+
+_SENT_END = re.compile(r"([。；？！])")
+
+
+def split_sentences(text: str, max_len: int = 100) -> List[str]:
+    """Sentence splitter in the spirit of the reference's cut_line /
+    cut_line2 (create_data.py:6-27): split on 。；？！ keeping the
+    delimiter; long runs additionally split on commas."""
+    parts: List[str] = []
+    buf = ""
+    for piece in _SENT_END.split(text):
+        buf += piece
+        if _SENT_END.fullmatch(piece):
+            parts.append(buf)
+            buf = ""
+    if buf:
+        parts.append(buf)
+    out: List[str] = []
+    for p in parts:
+        while len(p) > max_len:
+            cut = p.rfind("，", 0, max_len)
+            if cut <= 0:
+                cut = max_len
+            out.append(p[: cut + 1] if p[cut] == "，" else p[:cut])
+            p = p[cut + 1 :] if p[cut] == "，" else p[cut:]
+        if p:
+            out.append(p)
+    return out
+
+
+def sentence_split_ds(span_ds):
+    """Span rows -> sentence rows (doc_id, offset, sent_idx, sentence)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, offsets, idxs, sents = [], [], [], []
+        for doc_id, offset, text in zip(df["doc_id"], df["offset"], df["text"]):
+            for i, s in enumerate(split_sentences(text or "")):
+                doc_ids.append(doc_id)
+                offsets.append(offset)
+                idxs.append(i)
+                sents.append(s)
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "offset": pd.Series(offsets, dtype="int32"),
+                "sent_idx": pd.Series(idxs, dtype="int32"),
+                "sentence": sents,
+            }
+        )
+
+    return span_ds.map_batches(fn, batch_format="pandas")

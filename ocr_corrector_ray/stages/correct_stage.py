@@ -54,8 +54,19 @@ def _resolve_side(side) -> dict:
 
 
 class _CorrectorBase:
-    def __init__(self, cfg: Optional[CorrectorConfig] = None, side=None):
+    _CACHE_MAX = 200_000
+
+    def __init__(
+        self,
+        cfg: Optional[CorrectorConfig] = None,
+        side=None,
+        num_partitions: Optional[int] = None,
+    ):
         self.cfg = cfg or CorrectorConfig()
+        # when set, the output gets the reassembly partition id appended
+        # here (fused into this stage: one fewer operator pass over the
+        # span stream before the shuffle)
+        self.num_partitions = num_partitions
         sd = _resolve_side(side)
         self.res = build_resources(
             sd["char_meta"],
@@ -64,6 +75,11 @@ class _CorrectorBase:
             sd["inventory"],
             topn=self.cfg.topn,
         )
+        # correction is a pure function of (text, err positions); corpora
+        # repeat boilerplate heavily, so a per-actor memo amortises the
+        # BK-tree/LM work across batches (bounded; misses cost one lookup)
+        self._kw_cache: dict = {}
+        self._lm_cache: dict = {}
 
     def _correct_span_lists(
         self,
@@ -78,8 +94,10 @@ class _CorrectorBase:
         n = len(texts)
         out = list(texts)
         lm_idx: List[int] = []
+        lm_keys: List[tuple] = []
         lm_texts: List[str] = []
         lm_errs: List[List[int]] = []
+        kw_cache, lm_cache = self._kw_cache, self._lm_cache
         for i in range(n):
             kind = kinds[i]
             text = texts[i]
@@ -89,16 +107,29 @@ class _CorrectorBase:
             err = detect_span(text, p, bizs[i], self.cfg)
             if err is None:
                 continue
+            key = (text, tuple(err))
             if bizs[i] == "report":
-                out[i] = correct_keyword_text(text, err, self.res, self.cfg)
+                hit = kw_cache.get(key)
+                if hit is None:
+                    hit = correct_keyword_text(text, err, self.res, self.cfg)
+                    if len(kw_cache) < self._CACHE_MAX:
+                        kw_cache[key] = hit
+                out[i] = hit
             else:
-                lm_idx.append(i)
-                lm_texts.append(text)
-                lm_errs.append(err)
+                hit = lm_cache.get(key)
+                if hit is not None:
+                    out[i] = hit
+                else:
+                    lm_idx.append(i)
+                    lm_keys.append(key)
+                    lm_texts.append(text)
+                    lm_errs.append(err)
         if lm_idx:
             corrected = correct_lm_texts(lm_texts, lm_errs, self.res, self.cfg)
-            for i, c in zip(lm_idx, corrected):
+            for i, key, c in zip(lm_idx, lm_keys, corrected):
                 out[i] = c
+                if len(lm_cache) < self._CACHE_MAX:
+                    lm_cache[key] = c
         return out
 
 
@@ -115,7 +146,12 @@ class SpanCorrector(_CorrectorBase):
         bizs = batch.column("biz").to_pylist()
         out = self._correct_span_lists(kinds, texts, probs, bizs)
         col_idx = batch.column_names.index("text")
-        return batch.set_column(col_idx, "text", pa.array(out, pa.string()))
+        batch = batch.set_column(col_idx, "text", pa.array(out, pa.string()))
+        if self.num_partitions is not None:
+            from .reassemble import add_partition_column
+
+            batch = add_partition_column(batch, self.num_partitions)
+        return batch
 
 
 class DocCorrector(_CorrectorBase):

@@ -63,14 +63,39 @@ def reassemble_partition(part: pa.Table) -> pa.Table:
     return pa.table({"doc_id": pa.array(d[starts], pa.string()), "spans": spans})
 
 
-def reassemble(ds, num_partitions: int):
-    """span-row Dataset -> document Dataset via the explicit hash shuffle."""
-    ds = ds.map_batches(
-        add_partition_column,
-        batch_format="pyarrow",
-        fn_kwargs={"num_partitions": num_partitions},
-    )
-    return ds.groupby("pid").map_groups(
-        lambda t: reassemble_partition(t.drop_columns(["pid"])),
-        batch_format="pyarrow",
+def reassemble(ds, num_partitions: int, per_group=None, has_pid: bool = False):
+    """span-row Dataset -> document Dataset via the explicit hash shuffle
+    on ``pid = hash(doc_id) % num_partitions``.
+
+    ``groupby(pid).map_groups`` is used (NOT bare key-repartition +
+    per-block maps): the groupby contract guarantees every group arrives
+    whole in one call regardless of how the shuffle implementation chunks
+    its output blocks — a key-repartition can legally emit one partition
+    as several blocks, splitting a document mid-stream.  Reassembly inside
+    the group is fully vectorized (one sort + run-length scan + ListArray
+    build per partition, not per doc).
+
+    The shuffle implementation (sort-based vs Ray's HASH_SHUFFLE) is a
+    DataContext knob, orthogonal to correctness here.
+
+    ``per_group``: optional extra callable applied to each reassembled
+    partition table inside the same group call (used by the checkpoint
+    writer so each partition is written exactly once).
+
+    ``has_pid``: the upstream stage already appended the pid column
+    (fused), skip the extra pass.
+    """
+    if not has_pid:
+        ds = ds.map_batches(
+            add_partition_column,
+            batch_format="pyarrow",
+            fn_kwargs={"num_partitions": num_partitions},
+        )
+
+    def _group_fn(t: pa.Table) -> pa.Table:
+        out = reassemble_partition(t.drop_columns(["pid"]))
+        return per_group(out) if per_group is not None else out
+
+    return ds.groupby("pid", num_partitions=num_partitions).map_groups(
+        _group_fn, batch_format="pyarrow"
     )

