@@ -28,7 +28,7 @@ from .functions import textproc
 from .functions.bktree import BKTree
 from .functions.charsim import CharMeta
 from .functions.extract import extract_span
-from .functions.lm import CandidateModel, SyntheticLM
+from .functions.lm import CandidateModel, SyntheticLM  # noqa: F401 (CandidateModel re-exported)
 from .functions.regexes import is_number_char
 
 
@@ -43,6 +43,12 @@ class CorrectorConfig:
     topn: int = 3
     max_seq_length: int = 64
     curve: str = "02"
+    # "synthetic": hash-derived confusion-table LM (default; cheap, exact
+    # goldens).  "scorer": the full tokenize/frame/mask/score harness with
+    # the deterministic random-projection network (model/scorer.py) — the
+    # path a real BERT backend plugs into.
+    lm_backend: str = "synthetic"
+    lm_batch_size: int = 16
     keywords_file: str = os.path.join(DATA_DIR, "keywords_credit_report.txt")
 
 
@@ -196,10 +202,26 @@ def build_resources(
     confusion_rev: Dict[str, List[str]],
     inventory: Sequence[str],
     topn: int = 3,
+    lm_backend: str = "synthetic",
+    max_seq_length: int = 64,
+    lm_batch_size: int = 16,
 ) -> CorrectorResources:
     """Convenience constructor used by actors and the oracle."""
+    if lm_backend == "scorer":
+        from .functions.tokenization import FullTokenizer, build_synthetic_vocab
+        from .model.scorer import MaskedLMScorer
+
+        tokenizer = FullTokenizer(build_synthetic_vocab(inventory))
+        lm: CandidateModel = MaskedLMScorer(
+            tokenizer,
+            topn=topn,
+            max_seq_length=max_seq_length,
+            batch_size=lm_batch_size,
+        )
+    else:
+        lm = SyntheticLM(confusion_rev, inventory, topn=topn)
     return CorrectorResources(
         char_meta=CharMeta(char_meta_data),
         keywords=keywords,
-        lm=SyntheticLM(confusion_rev, inventory, topn=topn),
+        lm=lm,
     )

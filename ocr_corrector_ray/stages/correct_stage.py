@@ -74,6 +74,9 @@ class _CorrectorBase:
             sd["confusion_rev"],
             sd["inventory"],
             topn=self.cfg.topn,
+            lm_backend=getattr(self.cfg, "lm_backend", "synthetic"),
+            max_seq_length=self.cfg.max_seq_length,
+            lm_batch_size=getattr(self.cfg, "lm_batch_size", 16),
         )
         # correction is a pure function of (text, err positions); corpora
         # repeat boilerplate heavily, so a per-actor memo amortises the
