@@ -75,6 +75,38 @@ def _ocr_extract(sf_dir: str):
     )
 
 
+def _correction_pairs(sf_dir: str):
+    import ray.data
+
+    from ocr_corrector_ray.pipelines.training import correction_pairs
+
+    return correction_pairs(ray.data.read_parquet(_corpus_for(sf_dir)))
+
+
+def _confusion_counts(sf_dir: str):
+    from ocr_corrector_ray.pipelines.training import confusion_counts
+
+    return confusion_counts(_correction_pairs(sf_dir))
+
+
+def _media_features(sf_dir: str):
+    import ray.data
+
+    from ocr_corrector_ray.stages.media import media_features
+
+    return media_features(ray.data.read_parquet(_corpus_for(sf_dir)))
+
+
+def _ocr_correct_scorer(sf_dir: str):
+    """Flagship pipeline with the full tokenize/frame/mask/score LM harness
+    (deterministic random-projection network) instead of the synthetic
+    confusion LM."""
+    from ocr_corrector_ray.correct import CorrectorConfig
+    from ocr_corrector_ray.pipelines.correct import corrected_dataset
+
+    return corrected_dataset(_corpus_for(sf_dir), cfg=CorrectorConfig(lm_backend="scorer"))
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale (500 synthetic docs)."""
     return _ocr_correct_flat("/root/testdata/sf0.001")
@@ -102,6 +134,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": analytics.sessionize,
         "pricing_summary": analytics.pricing_summary,
         "top_customers": analytics.top_customers,
+        # training-data tooling + multimodal plumbing (rows-only)
+        "correction_pairs": _correction_pairs,
+        "confusion_counts": _confusion_counts,
+        "media_features": _media_features,
+        "ocr_correct_scorer": _ocr_correct_scorer,
         # near-dup family (rows-only)
         "minhash_signatures": dedup.minhash_signatures,
         "minhash_neardup_pairs": dedup.minhash_neardup_pairs,

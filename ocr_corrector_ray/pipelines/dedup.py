@@ -33,6 +33,18 @@ def _p(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _dedup_pairs(pairs_ds):
+    """Distinct (a, b) rows of a SMALL verified-pair Dataset (first
+    occurrence wins; duplicates carry identical scores by construction)."""
+
+    def first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.head(1)
+
+    return pairs_ds.groupby(["a", "b"], num_partitions=4).map_groups(
+        first, batch_format="pandas"
+    )
+
+
 def _perm_params(num_perm: int, seed: int = 7):
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
@@ -115,23 +127,37 @@ def minhash_neardup_pairs(
     join of candidates against the documents table on doc_id)."""
     band_rows = minhash_band_rows(sf_dir, num_perm, bands, shingle_n)
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(df["doc_id"].tolist())
+    def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """One COARSE hash partition of band rows -> candidate pairs.
+        The fine-grained buckets are resolved with a vectorized pandas
+        groupby inside the partition; most buckets are singletons and a
+        per-bucket map_groups would mean one Python call per bucket."""
         a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
+        multi = df.groupby(["band_id", "band_hash"])["doc_id"].agg(list)
+        for ids in multi:
+            if len(ids) < 2:
+                continue
+            ids = sorted(set(ids))[:500]  # skew guard for degenerate buckets
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
         return pd.DataFrame({"a": pd.Series(a_out, dtype="int64"),
                              "b": pd.Series(b_out, dtype="int64")})
 
-    cands = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    # a pair found by several bands must be verified once
-    from ray.data.aggregate import Count
+    def add_ppid(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(ppid=(df["band_hash"] % 8).astype("int32"))
 
-    uniq = cands.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
+    cands = (
+        band_rows.map_batches(add_ppid, batch_format="pandas")
+        .groupby("ppid", num_partitions=8)
+        .map_groups(lambda df: partition_pairs(df), batch_format="pandas")
+    )
+    # NOTE: a pair surfaced by several bands is verified several times —
+    # verification is idempotent and cheap, so dedup happens AFTER the
+    # threshold filter on the (small) surviving set; deduping the full
+    # candidate stream first costs a per-key aggregate over a much larger
+    # key space (measured ~0.2 ms/key in Ray's grouped aggregate)
 
     import pyarrow.parquet as pq
 
@@ -143,12 +169,21 @@ def minhash_neardup_pairs(
             self.texts = ray.get(ref)
             self.n = n
             self.thr = thr
+            self._sets: dict = {}  # doc_id -> shingle set, built once per actor
+
+        def _set(self, doc_id):
+            s = self._sets.get(doc_id)
+            if s is None:
+                s = frozenset(_shingles(self.texts.get(doc_id, "") or "", self.n))
+                self._sets[doc_id] = s
+            return s
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df.drop_duplicates(["a", "b"])  # cheap in-batch dedup
             keep_a, keep_b, jac = [], [], []
             for a_id, b_id in zip(df["a"], df["b"]):
-                sa = set(_shingles(self.texts.get(a_id, "") or "", self.n))
-                sb = set(_shingles(self.texts.get(b_id, "") or "", self.n))
+                sa = self._set(a_id)
+                sb = self._set(b_id)
                 if not sa or not sb:
                     continue
                 j = len(sa & sb) / len(sa | sb)
@@ -160,10 +195,11 @@ def minhash_neardup_pairs(
                                  "b": pd.Series(keep_b, dtype="int64"),
                                  "jaccard": pd.Series(jac, dtype="float64")})
 
-    return uniq.map_batches(
+    verified = cands.map_batches(
         Verify, fn_constructor_kwargs={"ref": texts_ref, "n": shingle_n, "thr": threshold},
         batch_format="pandas", concurrency=2,
     )
+    return _dedup_pairs(verified)
 
 
 def ngram_jaccard_pairs(sf_dir: str, ids_a=(0, 1, 2, 3, 4), shingle_n: int = 3):
@@ -290,12 +326,10 @@ def embedding_neardup(
         return pd.DataFrame({"a": pd.Series(a_out, dtype="int64"),
                              "b": pd.Series(b_out, dtype="int64")})
 
-    cands = bucketed.groupby(["table_id", "bucket"]).map_groups(
+    cands = bucketed.groupby(["table_id", "bucket"], num_partitions=8).map_groups(
         bucket_pairs, batch_format="pandas"
     )
-    from ray.data.aggregate import Count
-
-    uniq = cands.groupby(["a", "b"]).aggregate(Count(alias_name="n_tables"))
+    # verify-then-dedup: see minhash_neardup_pairs for the rationale
 
     import pyarrow.parquet as pq
 
@@ -324,7 +358,8 @@ def embedding_neardup(
                                  "b": pd.Series(keep_b, dtype="int64"),
                                  "cos_sim": pd.Series(cos, dtype="float64")})
 
-    return uniq.map_batches(
+    verified = cands.map_batches(
         Verify, fn_constructor_kwargs={"ref": vec_ref, "thr": threshold},
         batch_format="pandas", concurrency=2,
     )
+    return _dedup_pairs(verified)
