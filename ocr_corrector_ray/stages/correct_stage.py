@@ -153,6 +153,12 @@ class SpanCorrector(_CorrectorBase):
         if self.num_partitions is not None:
             from .reassemble import add_partition_column
 
+            # heading into the reassembly shuffle: drop the columns the
+            # rebuild never reads (probs is the widest column in the row)
+            # before every byte crosses the exchange
+            drop = [c for c in ("probs", "biz") if c in batch.column_names]
+            if drop:
+                batch = batch.drop_columns(drop)
             batch = add_partition_column(batch, self.num_partitions)
         return batch
 
