@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": analytics.sessionize,
         "pricing_summary": analytics.pricing_summary,
         "top_customers": analytics.top_customers,
+        "order_revenue": analytics.order_revenue,
+        "purchase_prior_click": analytics.purchase_prior_click,
         # training-data tooling + multimodal plumbing (rows-only)
         "correction_pairs": _correction_pairs,
         "confusion_counts": _confusion_counts,
@@ -225,6 +227,19 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice) / count(*), 4) AS avg_price,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "order_revenue": """
+            SELECT o.o_orderpriority,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
+        """,
+        "purchase_prior_click": """
+            SELECT p.event_id, c.ts AS prior_click_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts > c.ts
         """,
         "top_customers": """
             SELECT t.c_custkey, c.c_name, t.total_price

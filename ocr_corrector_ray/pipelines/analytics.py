@@ -293,6 +293,105 @@ def pricing_summary(sf_dir: str):
     return agg.map_batches(derive_final, batch_format="pandas")
 
 
+def order_revenue(sf_dir: str, num_buckets: int = 16):
+    """Per-orderpriority revenue: orders ⋈ lineitem where BOTH sides are
+    large — an explicit partitioned hash join: both sides get a
+    ``bucket = orderkey % B`` column, the bucket groupby co-locates
+    matching keys, the per-bucket pandas merge joins them, and a partial
+    aggregate inside the bucket (the combiner) shrinks the final shuffle
+    to B rows per priority."""
+    orders = ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"])
+    items = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["o_orderkey"],
+                "bucket": (df["o_orderkey"] % num_buckets).astype("int32"),
+                "priority": df["o_orderpriority"],
+                "revenue": pd.Series([float("nan")] * len(df), dtype="float64"),
+                "side": "o",
+            }
+        )
+
+    def tag_items(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["l_orderkey"],
+                "bucket": (df["l_orderkey"] % num_buckets).astype("int32"),
+                "priority": pd.Series([None] * len(df), dtype="object"),
+                "revenue": df["l_extendedprice"] * (1 - df["l_discount"]),
+                "side": "l",
+            }
+        )
+
+    both = orders.map_batches(tag_orders, batch_format="pandas").union(
+        items.map_batches(tag_items, batch_format="pandas")
+    )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["side"] == "o"][["key", "priority"]]
+        l = df[df["side"] == "l"][["key", "revenue"]]
+        merged = l.merge(o, on="key", how="inner")
+        part = merged.groupby("priority", as_index=False).agg(
+            revenue=("revenue", "sum"), n_items=("key", "size")
+        )
+        return pd.DataFrame(
+            {
+                "o_orderpriority": part["priority"],
+                "revenue": part["revenue"],
+                "n_items": part["n_items"].astype("int64"),
+            }
+        )
+
+    partials = both.groupby("bucket", num_partitions=num_buckets).map_groups(
+        join_bucket, batch_format="pandas"
+    )
+    final = partials.groupby("o_orderpriority").aggregate(
+        Sum("revenue", alias_name="revenue"), Sum("n_items", alias_name="n_items")
+    )
+    return final.map_batches(
+        lambda df: df.assign(revenue=df["revenue"].round(2)), batch_format="pandas"
+    )
+
+
+def purchase_prior_click(sf_dir: str, num_buckets: int = 8):
+    """As-of join: for every purchase event, the user's most recent
+    STRICTLY-earlier click.  Both event streams are bucketed on user_id,
+    the bucket groupby co-locates a user's events, and ``pd.merge_asof``
+    (ts-sorted, by=user_id, strict) does the as-of matching per bucket."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["purchase", "click"])].copy()
+        df["bucket"] = (df["user_id"] % num_buckets).astype("int32")
+        return df
+
+    def asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["event_type"] == "purchase"].sort_values("ts")
+        c = df[df["event_type"] == "click"].sort_values("ts")
+        merged = pd.merge_asof(
+            p,
+            c[["user_id", "ts"]].rename(columns={"ts": "prior_click_ts"}),
+            left_on="ts",
+            right_on="prior_click_ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=False,
+        )
+        return pd.DataFrame(
+            {"event_id": merged["event_id"], "prior_click_ts": merged["prior_click_ts"]}
+        )
+
+    return ds.map_batches(bucketize, batch_format="pandas").groupby(
+        "bucket", num_partitions=num_buckets
+    ).map_groups(asof_bucket, batch_format="pandas")
+
+
 def top_customers(sf_dir: str, n: int = 10):
     """Top-n customers by total order value; the customer dimension is a
     broadcast lookup (ray.put once), NOT a shuffle join."""

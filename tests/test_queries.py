@@ -20,6 +20,8 @@ SQL_SAMPLE = [
     "sessionize",
     "pricing_summary",
     "top_customers",
+    "order_revenue",
+    "purchase_prior_click",
 ]
 
 
