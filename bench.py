@@ -143,9 +143,40 @@ def run_scaling(sf_dir: str, levels=(4, 16)) -> dict:
     }
 
 
+def run_serial(sf_dir: str, n_docs: int = 2000) -> dict:
+    """Single-process serial baseline: the oracle runs the identical
+    per-span logic with no Ray — the stand-in for the reference's
+    single-process throughput (the reference publishes no numbers;
+    SURVEY.md §6)."""
+    import pyarrow.dataset as pads
+
+    from ocr_corrector_ray import datagen, oracle
+    from ocr_corrector_ray.correct import CorrectorConfig, build_resources
+
+    path = datagen.corpus_path(datagen.num_docs_for_sf_dir(sf_dir))
+    docs = pads.dataset(path).head(n_docs).to_pylist()
+    kws, inv, _ = datagen.static_tables()
+    res = build_resources(datagen.build_char_meta(), kws, datagen.confusion_rev(), inv)
+    cfg = CorrectorConfig()
+    t0 = time.perf_counter()
+    out = oracle.correct_table(docs, res, cfg)
+    wall = time.perf_counter() - t0
+    spans = sum(len(r["spans"]) for r in out)
+    return {
+        "mode": "serial-oracle",
+        "docs": len(out),
+        "spans": spans,
+        "sec": round(wall, 3),
+        "spans_per_s": round(spans / wall, 1),
+    }
+
+
 def main():
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(SF_DIR)))
+        return
+    if "--serial" in sys.argv:
+        print(json.dumps(run_serial(SF_DIR)))
         return
     only = os.environ.get("GRAFT_BENCH_ONLY")
     if only:
