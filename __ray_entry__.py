@@ -89,6 +89,12 @@ def _confusion_counts(sf_dir: str):
     return confusion_counts(_correction_pairs(sf_dir))
 
 
+def _mask_probabilities(sf_dir: str):
+    from ocr_corrector_ray.pipelines.training import mask_probabilities
+
+    return mask_probabilities(_correction_pairs(sf_dir))
+
+
 def _media_features(sf_dir: str):
     import ray.data
 
@@ -139,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data tooling + multimodal plumbing (rows-only)
         "correction_pairs": _correction_pairs,
         "confusion_counts": _confusion_counts,
+        "mask_probabilities": _mask_probabilities,
         "media_features": _media_features,
         "ocr_correct_scorer": _ocr_correct_scorer,
         # near-dup family (rows-only)

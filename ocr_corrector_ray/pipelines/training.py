@@ -107,6 +107,45 @@ def confusion_counts(pairs_ds):
     return partials.groupby(["wrong_char", "correct_char"]).aggregate(Sum("n", alias_name="n"))
 
 
+def mask_probabilities(pairs_ds):
+    """Per-character masking probability for confusion-aware LM training
+    (the reference's mask_probability.sav computation,
+    create_data.py:124-147): for each correct char c,
+    ``min(max_w count(w -> c) / count_of_c_in_correct_texts, 1.0)``.
+
+    Char occurrence counts are partial-aggregated per batch; both inputs
+    to the final division are tiny tables, merged in one small stage."""
+
+    def char_partials(df: pd.DataFrame) -> pd.DataFrame:
+        counts: dict = {}
+        for text in df["correct"]:
+            for ch in text:
+                counts[ch] = counts.get(ch, 0) + 1
+        return pd.DataFrame(
+            {
+                "correct_char": list(counts),
+                "n_occ": pd.Series(list(counts.values()), dtype="int64"),
+            }
+        )
+
+    occ = (
+        pairs_ds.map_batches(char_partials, batch_format="pandas")
+        .groupby("correct_char")
+        .aggregate(Sum("n_occ", alias_name="n_occ"))
+        .to_pandas()
+    )
+    conf = confusion_counts(pairs_ds).to_pandas()
+    if conf.empty:
+        return pd.DataFrame(
+            {"char": pd.Series([], dtype="object"),
+             "mask_probability": pd.Series([], dtype="float64")}
+        )
+    top = conf.groupby("correct_char", as_index=False)["n"].max()
+    merged = top.merge(occ, on="correct_char", how="left")
+    prob = (merged["n"] / merged["n_occ"].clip(lower=1)).clip(upper=1.0).round(6)
+    return pd.DataFrame({"char": merged["correct_char"], "mask_probability": prob})
+
+
 _SENT_END = re.compile(r"([。；？！])")
 
 

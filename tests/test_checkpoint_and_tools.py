@@ -116,6 +116,18 @@ def test_training_pairs_and_confusion_counts(ray_session):
         assert row["n"] >= 1
 
 
+def test_mask_probabilities(ray_session):
+    import ray.data
+
+    from ocr_corrector_ray.pipelines.training import correction_pairs, mask_probabilities
+
+    corpus = datagen.corpus_path(150)
+    pairs = correction_pairs(ray.data.read_parquet(corpus))
+    mp = mask_probabilities(pairs)
+    assert len(mp) > 0
+    assert ((mp["mask_probability"] > 0) & (mp["mask_probability"] <= 1.0)).all()
+
+
 def test_sentence_split():
     from ocr_corrector_ray.pipelines.training import split_sentences
 
