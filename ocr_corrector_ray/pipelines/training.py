@@ -108,42 +108,63 @@ def confusion_counts(pairs_ds):
 
 
 def mask_probabilities(pairs_ds):
-    """Per-character masking probability for confusion-aware LM training
-    (the reference's mask_probability.sav computation,
-    create_data.py:124-147): for each correct char c,
-    ``min(max_w count(w -> c) / count_of_c_in_correct_texts, 1.0)``.
+    """Per-character masking probability for confusion-aware LM training —
+    the reference's ``mask_probability.sav`` computation restated exactly
+    (create_data.py:123-147): keyed by the WRONG char ``w``,
 
-    Char occurrence counts are partial-aggregated per batch; both inputs
-    to the final division are tiny tables, merged in one small stage."""
+        mask_prob(w) = min( max_c count(w -> c at w != c positions)
+                            / count(w at w == c positions), 1.0 )
 
-    def char_partials(df: pd.DataFrame) -> pd.DataFrame:
+    Chars that never appear UNCHANGED anywhere get no entry (the reference
+    asserts ``correct_count != 0`` and simply omits them).
+
+    The aligned pairs are materialised once (they are the small changed-
+    span subset) and feed two partial aggregations; the final division
+    happens on two tiny tables.  Returns a ray Dataset (char,
+    mask_probability) like every other query."""
+    import ray.data
+
+    pairs_ds = pairs_ds.materialize()  # consumed twice below; pairs are small
+
+    def unchanged_partials(df: pd.DataFrame) -> pd.DataFrame:
         counts: dict = {}
-        for text in df["correct"]:
-            for ch in text:
-                counts[ch] = counts.get(ch, 0) + 1
+        for wrong, correct in zip(df["wrong"], df["correct"]):
+            if len(wrong) != len(correct):
+                continue  # alignment guard, mirrors confusion_counts
+            for wc, cc in zip(wrong, correct):
+                if wc == cc:
+                    counts[wc] = counts.get(wc, 0) + 1
         return pd.DataFrame(
             {
-                "correct_char": list(counts),
+                "char": pd.Series(list(counts), dtype="object"),
                 "n_occ": pd.Series(list(counts.values()), dtype="int64"),
             }
         )
 
     occ = (
-        pairs_ds.map_batches(char_partials, batch_format="pandas")
-        .groupby("correct_char")
+        pairs_ds.map_batches(unchanged_partials, batch_format="pandas")
+        .groupby("char")
         .aggregate(Sum("n_occ", alias_name="n_occ"))
         .to_pandas()
     )
     conf = confusion_counts(pairs_ds).to_pandas()
+    empty = pd.DataFrame(
+        {"char": pd.Series([], dtype="object"),
+         "mask_probability": pd.Series([], dtype="float64")}
+    )
     if conf.empty:
-        return pd.DataFrame(
-            {"char": pd.Series([], dtype="object"),
-             "mask_probability": pd.Series([], dtype="float64")}
-        )
-    top = conf.groupby("correct_char", as_index=False)["n"].max()
-    merged = top.merge(occ, on="correct_char", how="left")
-    prob = (merged["n"] / merged["n_occ"].clip(lower=1)).clip(upper=1.0).round(6)
-    return pd.DataFrame({"char": merged["correct_char"], "mask_probability": prob})
+        return ray.data.from_pandas(empty)
+    # top confusion per WRONG char (top_confusions[k[0]], create_data.py:124-129)
+    top = conf.groupby("wrong_char", as_index=False)["n"].max()
+    top = top.rename(columns={"wrong_char": "char"})
+    # inner merge: chars never seen unchanged are omitted (reference parity)
+    merged = top.merge(occ, on="char", how="inner")
+    if merged.empty:
+        return ray.data.from_pandas(empty)
+    prob = (merged["n"] / merged["n_occ"]).clip(upper=1.0).round(6)
+    return ray.data.from_pandas(
+        pd.DataFrame({"char": merged["char"], "mask_probability": prob})
+    )
 
 
 _SENT_END = re.compile(r"([。；？！])")

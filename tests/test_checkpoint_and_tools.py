@@ -116,16 +116,48 @@ def test_training_pairs_and_confusion_counts(ray_session):
         assert row["n"] >= 1
 
 
-def test_mask_probabilities(ray_session):
+def test_mask_probabilities_reference_formula(ray_session):
+    """Golden check against the reference formula (create_data.py:123-147)
+    on a hand-built pair set:
+      pairs: (AB->XB, AC->XC, AB->AB-unchanged? no — pairs are changed rows)
+    Using chars: 白->自 twice, 白 unchanged once, 天 unchanged 3x."""
+    import pandas as pd
+    import ray.data
+
+    from ocr_corrector_ray.pipelines.training import mask_probabilities
+
+    pairs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": ["d1", "d2", "d3"],
+        "offset": pd.Series([0, 0, 0], dtype="int32"),
+        # wrong -> correct aligned rows; unchanged positions count toward
+        # the denominator of their char
+        "wrong":   ["白天白", "白天白", "天白天"],
+        "correct": ["自天白", "自天自", "天自天"],
+    }))
+    mp = mask_probabilities(pairs).to_pandas().set_index("char")
+    # 白->自 occurs 3 times (d1 pos0, d2 pos0+pos2, d3 pos1) = 4? count:
+    # d1: 白->自 (pos0), 白->白 unchanged (pos2); d2: 白->自 (pos0), 白->自 (pos2)
+    # d3: 白->自 (pos1).  So count(白->自)=4, 白 unchanged=1 -> min(4/1,1)=1.0
+    # 天 unchanged: d1 pos1, d2 pos1, d3 pos0+pos2 = 4; 天 never wrong -> no entry
+    assert mp.loc["白", "mask_probability"] == 1.0
+    assert "天" not in mp.index
+
+
+def test_mask_probabilities_on_corpus(ray_session):
     import ray.data
 
     from ocr_corrector_ray.pipelines.training import correction_pairs, mask_probabilities
 
     corpus = datagen.corpus_path(150)
     pairs = correction_pairs(ray.data.read_parquet(corpus))
-    mp = mask_probabilities(pairs)
+    mp = mask_probabilities(pairs).to_pandas()
     assert len(mp) > 0
     assert ((mp["mask_probability"] > 0) & (mp["mask_probability"] <= 1.0)).all()
+    # every listed char was a WRONG char in some confusion pair
+    from ocr_corrector_ray.pipelines.training import confusion_counts
+
+    conf = confusion_counts(pairs).to_pandas()
+    assert set(mp["char"]) <= set(conf["wrong_char"])
 
 
 def test_sentence_split():
