@@ -90,9 +90,15 @@ def _confusion_counts(sf_dir: str):
 
 
 def _mask_probabilities(sf_dir: str):
-    from ocr_corrector_ray.pipelines.training import mask_probabilities
+    import ray.data
 
-    return mask_probabilities(_correction_pairs(sf_dir))
+    from ocr_corrector_ray.pipelines.training import correction_pairs, mask_probabilities
+
+    # denominator needs UNCHANGED spans too (reference corpus scan parity)
+    pairs = correction_pairs(
+        ray.data.read_parquet(_corpus_for(sf_dir)), changed_only=False
+    )
+    return mask_probabilities(pairs)
 
 
 def _media_features(sf_dir: str):

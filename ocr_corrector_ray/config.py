@@ -45,6 +45,15 @@ def register_corrector_type(name: str, builder: Callable[[dict], CorrectorConfig
     _BUILDERS[name] = builder
 
 
+# reference config keys -> engine knob names (so the reference's
+# config.json vocabulary keeps working)
+_KEY_ALIASES = {
+    "similarity_threshold": "kw_similarity_threshold",
+    "batch_size": "lm_batch_size",
+    "key_words_file": "keywords_file",
+}
+
+
 def _build_default(entry: dict) -> CorrectorConfig:
     cfg = CorrectorConfig(
         prob_threshold=entry.get("prob_threshold", 0.9),
@@ -53,10 +62,13 @@ def _build_default(entry: dict) -> CorrectorConfig:
         max_seq_length=entry.get("max_seq_length", 64),
         curve=entry.get("curve", "02"),
     )
-    # dynamic schema: any other key becomes an attribute (from_dict parity)
     for key, value in entry.items():
-        if not hasattr(cfg, key) and key not in ("biz_type", "corrector_type"):
-            setattr(cfg, key, value)
+        if key in ("biz_type", "corrector_type"):
+            continue
+        target = _KEY_ALIASES.get(key, key)
+        # aliased/known keys set the real knob; unknown keys become new
+        # attributes (from_dict dynamic-schema parity)
+        setattr(cfg, target, value)
     return cfg
 
 

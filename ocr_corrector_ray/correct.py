@@ -51,6 +51,17 @@ class CorrectorConfig:
     lm_batch_size: int = 16
     keywords_file: str = os.path.join(DATA_DIR, "keywords_credit_report.txt")
 
+    @property
+    def effective_prob_threshold(self) -> float:
+        """The detection threshold quantised to float32: stored probs are
+        float32 (FIXTURES.md §1), so a recogniser confidence of exactly
+        0.9 round-trips to 0.89999997... — comparing against the same-
+        quantised threshold keeps the reference's strict-< semantics
+        (prob 0.9 is NOT suspicious) instead of flipping clean chars."""
+        import numpy as np
+
+        return float(np.float32(self.prob_threshold))
+
 
 class CorrectorResources:
     """Everything a corrector actor loads ONCE in ``__init__``: the
@@ -120,7 +131,19 @@ def correct_lm_texts(
     text (bert_corrector.py:37-49).  Per-text exception => original text."""
     curve = textproc.CURVES[cfg.curve]
     normed = [textproc.normalize_digits(t) for t in texts]
-    lm_out = res.lm.find_topn_candidates(normed, err_positions)
+    try:
+        lm_out = res.lm.find_topn_candidates(normed, err_positions)
+    except Exception:
+        # a model-level failure must not kill the batch (per-row error
+        # containment): retry per sentence, containing failures
+        # individually (a failed sentence gets no candidates => its text
+        # passes through unchanged below)
+        lm_out = []
+        for s, e in zip(normed, err_positions):
+            try:
+                lm_out.append(res.lm.find_topn_candidates([s], [e])[0])
+            except Exception:
+                lm_out.append([[] for _ in e])
     results: List[str] = []
     for i, text in enumerate(texts):
         try:
@@ -129,8 +152,9 @@ def correct_lm_texts(
             for j, e in enumerate(err):
                 if is_number_char(origin[e]):
                     continue
-                for k in range(cfg.topn):
-                    pred, confidence = lm_out[i][j][k]
+                cands = lm_out[i][j]
+                for k in range(min(cfg.topn, len(cands))):
+                    pred, confidence = cands[k]
                     # similarity is computed before the equality/admissibility
                     # checks, exactly as the reference does (it can raise on
                     # fully-unknown decompositions -> containment).
@@ -171,7 +195,7 @@ def detect_span(
             return None
     if probs is None:
         return list(range(len(text)))
-    err = textproc.find_err_pos(probs, cfg.prob_threshold)
+    err = textproc.find_err_pos(probs, cfg.effective_prob_threshold)
     return err if err else None
 
 

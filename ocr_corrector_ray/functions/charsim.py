@@ -54,7 +54,7 @@ def edit_distance(a: Sequence[str], b: Sequence[str], name: str = "Levenshtein")
     """
     la, lb = len(a), len(b)
     if la == 0:
-        return lb if name == "Levenshtein" else lb
+        return lb  # pure insertions: substitution cost never applies
     if lb == 0:
         return la
     sub_cost = 1 if name == "Levenshtein" else 2

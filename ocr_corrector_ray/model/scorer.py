@@ -153,7 +153,39 @@ class MaskedLMScorer(CandidateModel):
         self.max_seq_length = max_seq_length
         self.batch_size = batch_size
 
+    def _aligned(self, sent: str, errs: Sequence[int]) -> bool:
+        """The scorer's positional contract: error positions are CHAR
+        indices, valid only when tokenization is one-token-per-char (true
+        for the CJK spans the LM filter admits).  Whitespace/control chars
+        the tokenizer drops would silently shift every position — such
+        sentences are declared unscorable instead (empty candidate lists
+        => the acceptance loop's per-text containment passes them
+        through)."""
+        toks = self.tokenizer.tokenize(sent)
+        if len(toks) != len(sent):
+            return False
+        return all(0 <= e < len(sent) for e in errs)
+
     def find_topn_candidates(
+        self, sentences: Sequence[str], error_positions: Sequence[Sequence[int]]
+    ) -> List[List[List[Candidate]]]:
+        aligned = [
+            self._aligned(s, list(e)) for s, e in zip(sentences, error_positions)
+        ]
+        out_map: dict = {}
+        scorable = [i for i, ok in enumerate(aligned) if ok]
+        for i, ok in enumerate(aligned):
+            if not ok:
+                out_map[i] = [[] for _ in error_positions[i]]
+        scored = self._score(
+            [sentences[i] for i in scorable],
+            [list(error_positions[i]) for i in scorable],
+        )
+        for i, res in zip(scorable, scored):
+            out_map[i] = res
+        return [out_map[i] for i in range(len(sentences))]
+
+    def _score(
         self, sentences: Sequence[str], error_positions: Sequence[Sequence[int]]
     ) -> List[List[List[Candidate]]]:
         result: List[List[List[Candidate]]] = []

@@ -53,7 +53,7 @@ def _correct_page(
             to_correct.append(text)
             err_positions.append(list(range(len(text))))
             continue
-        err = textproc.find_err_pos(p, cfg.prob_threshold)
+        err = textproc.find_err_pos(p, cfg.effective_prob_threshold)
         if not err:
             to_pass.append((i, text))
         else:

@@ -137,7 +137,14 @@ def minhash_neardup_pairs(
         for ids in multi:
             if len(ids) < 2:
                 continue
-            ids = sorted(set(ids))[:500]  # skew guard for degenerate buckets
+            ids = sorted(set(ids))
+            if len(ids) > 500:  # skew guard for degenerate buckets — logged
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "minhash-LSH bucket of %d members capped at 500", len(ids)
+                )
+                ids = ids[:500]
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     a_out.append(ids[i])
@@ -315,8 +322,16 @@ def embedding_neardup(
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(df["vec_id"].tolist()))
         # skew guard: a degenerate bucket (e.g. all-zeros sketch) would emit
-        # O(n^2) candidates; cap and log-drop instead of exploding
+        # O(n^2) candidates; cap, and LOG what was dropped — silent
+        # truncation would read as full coverage
         if len(ids) > 500:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "embedding-LSH bucket of %d members capped at 500: "
+                "~%d candidate pairs not considered",
+                len(ids), (len(ids) * (len(ids) - 1) - 500 * 499) // 2,
+            )
             ids = ids[:500]
         a_out, b_out = [], []
         for i in range(len(ids)):

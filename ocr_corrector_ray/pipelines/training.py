@@ -24,58 +24,81 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Sum
 
 
-def correction_pairs(original_ds, corrected_ds=None, cfg=None):
-    """(doc_id, offset, wrong, correct) rows for every span the corrector
-    changed.  If ``corrected_ds`` is None, the correction pipeline runs
-    inline (fused plan) so original and corrected text live in one pass —
-    no join needed."""
+def correction_pairs(original_ds, cfg=None, changed_only: bool = True):
+    """Aligned (doc_id, offset, wrong, correct) span-text rows.
+
+    ``wrong`` is the EXTRACTED original span text (HTML/PDF boilerplate
+    already stripped — the same string the corrector saw), so pairs line
+    up character-for-character with the corrections.  The correction
+    pipeline runs inline (fused plan): original and corrected text live
+    in one pass, no join.
+
+    ``changed_only=True`` keeps only spans the corrector changed (the
+    wrong.txt/correct.txt writer analogue); ``False`` keeps every text
+    span — required by ``mask_probabilities``, whose denominator counts
+    unchanged occurrences across the WHOLE corpus (create_data.py:134-143).
+    """
+    from ..functions.extract import extract_span
     from ..stages.correct_stage import DocCorrector, default_side_data
     from ..stages.explode import explode_docs
 
     import ray
 
-    if corrected_ds is None:
-        side = ray.put(default_side_data())
+    side = ray.put(default_side_data())
 
-        class PairEmitter(DocCorrector):
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                out = super().__call__(batch)
-                orig_spans = explode_docs(batch)
-                corr = out.column("spans").combine_chunks()
-                parent = pc.list_parent_indices(corr)
-                flat = corr.flatten()
-                corr_tbl = pa.table(
-                    {
-                        "doc_id": pc.take(out.column("doc_id"), parent),
-                        "offset": flat.field("offset"),
-                        "correct": flat.field("text"),
-                    }
-                )
-                # originals arrive offset-sorted from explode within doc;
-                # corrected spans are offset-sorted by construction
-                o = orig_spans.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
-                c = corr_tbl.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
-                wrong = o.column("text")
-                correct = c.column("correct")
-                changed = pc.invert(pc.equal(wrong, correct))
-                return pa.table(
-                    {
-                        "doc_id": pc.filter(c.column("doc_id"), changed),
-                        "offset": pc.filter(c.column("offset"), changed),
-                        "wrong": pc.filter(wrong, changed),
-                        "correct": pc.filter(correct, changed),
-                    }
-                )
+    class PairEmitter(DocCorrector):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(batch)
+            orig_spans = explode_docs(batch)
+            # extraction on the originals so 'wrong' is what the
+            # corrector actually consumed (char-aligned with 'correct')
+            kinds = orig_spans.column("kind").to_pylist()
+            texts = orig_spans.column("text").to_pylist()
+            extracted = []
+            for k, t in zip(kinds, texts):
+                try:
+                    extracted.append(extract_span(k, t) if t else t)
+                except Exception:
+                    extracted.append(t)
+            orig_spans = orig_spans.set_column(
+                orig_spans.column_names.index("text"), "text",
+                pa.array(extracted, pa.string()),
+            )
+            corr = out.column("spans").combine_chunks()
+            parent = pc.list_parent_indices(corr)
+            flat = corr.flatten()
+            corr_tbl = pa.table(
+                {
+                    "doc_id": pc.take(out.column("doc_id"), parent),
+                    "kind": flat.field("kind"),
+                    "offset": flat.field("offset"),
+                    "correct": flat.field("text"),
+                }
+            )
+            o = orig_spans.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
+            c = corr_tbl.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
+            wrong = o.column("text")
+            correct = c.column("correct")
+            keep = pc.invert(pc.equal(c.column("kind"), pa.scalar("image")))
+            if changed_only:
+                keep = pc.and_(keep, pc.invert(pc.equal(wrong, correct)))
+            return pa.table(
+                {
+                    "doc_id": pc.filter(c.column("doc_id"), keep),
+                    "offset": pc.filter(c.column("offset"), keep),
+                    "wrong": pc.filter(wrong, keep),
+                    "correct": pc.filter(correct, keep),
+                }
+            )
 
-        return original_ds.map_batches(
-            PairEmitter,
-            fn_constructor_kwargs={"cfg": cfg, "side": side},
-            batch_format="pyarrow",
-            batch_size=256,
-            concurrency=(1, 8),
-            num_cpus=1,
-        )
-    raise NotImplementedError("join-based pairing lands with the partitioned join operator")
+    return original_ds.map_batches(
+        PairEmitter,
+        fn_constructor_kwargs={"cfg": cfg, "side": side},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
 
 
 def confusion_counts(pairs_ds):

@@ -68,6 +68,17 @@ class _CorrectorBase:
         # span stream before the shuffle)
         self.num_partitions = num_partitions
         sd = _resolve_side(side)
+        # a non-default keywords_file on the config overrides the side
+        # bundle's keyword set (the reference's key_words_file knob)
+        import os as _os
+
+        from ..correct import CorrectorConfig as _CC
+
+        kwf = getattr(self.cfg, "keywords_file", None)
+        if kwf and kwf != _CC().keywords_file and _os.path.exists(kwf):
+            with open(kwf, encoding="utf-8") as f:
+                sd = dict(sd)
+                sd["keywords"] = [line.strip() for line in f if line.strip()]
         self.res = build_resources(
             sd["char_meta"],
             sd["keywords"],

@@ -47,7 +47,20 @@ def explode_docs(batch: pa.Table) -> pa.Table:
     }
     if "probs" in batch.column_names:
         probs = batch.column("probs").chunk(0)
-        flat_probs = probs.flatten()
+        if probs.null_count:
+            # a null DOC-LEVEL probs value (legal: "no recogniser
+            # confidences for this whole document", the reference's
+            # probs=None branch) contributes zero elements to flatten();
+            # expand such rows to one null entry per span so alignment
+            # holds.  Rare path -> python rebuild is fine.
+            span_lens = pc.list_value_length(spans).to_pylist()
+            probs_py = probs.to_pylist()
+            filled = []
+            for plist, n in zip(probs_py, span_lens):
+                filled.extend([None] * n if plist is None else plist)
+            flat_probs = pa.array(filled, type=pa.list_(pa.float32()))
+        else:
+            flat_probs = probs.flatten()
         if len(flat_probs) != len(flat):
             raise ValueError(
                 "probs/spans misalignment: "

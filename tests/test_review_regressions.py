@@ -1,0 +1,133 @@
+"""Regression pins for review findings: poison spans must never kill a
+batch, and the two physical plans must agree on every legal input."""
+
+import pyarrow as pa
+import pytest
+
+from ocr_corrector_ray import datagen
+from ocr_corrector_ray.correct import CorrectorConfig, build_resources, correct_lm_texts
+from ocr_corrector_ray.datagen import DOC_SCHEMA, SPAN_TYPE
+
+
+def _scorer_res():
+    kws, inv, _ = datagen.static_tables()
+    return build_resources(
+        datagen.build_char_meta(), kws, datagen.confusion_rev(), inv, lm_backend="scorer"
+    )
+
+
+def test_scorer_whitespace_span_contained():
+    """A span whose chars the tokenizer drops (whitespace) violates the
+    scorer's char-position contract; it must pass through unchanged —
+    and must not poison its batch neighbours."""
+    res = _scorer_res()
+    cfg = CorrectorConfig(lm_backend="scorer")
+    texts = ["我爱北京天安门", "我爱北京   天安门"]
+    errs = [[4], [9]]
+    out = correct_lm_texts(texts, errs, res, cfg)
+    assert out[1] == texts[1]          # unscorable -> untouched
+    assert len(out[0]) == len(texts[0])  # neighbour still processed
+
+
+def test_scorer_out_of_range_position_contained():
+    res = _scorer_res()
+    cfg = CorrectorConfig(lm_backend="scorer")
+    out = correct_lm_texts(["我爱北京"], [[99]], res, cfg)
+    assert out == ["我爱北京"]
+
+
+def test_lm_model_exception_contained(resources, cfg):
+    """A model-level failure falls back to per-sentence scoring with
+    individual containment instead of killing the batch."""
+
+    class Bomb:
+        topn = 3
+        calls = 0
+
+        def find_topn_candidates(self, sents, errs):
+            Bomb.calls += 1
+            if len(sents) > 1:
+                raise RuntimeError("batch boom")
+            if sents[0].startswith("坏"):
+                raise RuntimeError("poison sentence")
+            return [[[("天", 0.9)] * 3 for _ in e] for e in errs]
+
+    import copy
+
+    res = copy.copy(resources)
+    res.lm = Bomb()
+    texts = ["我爱北京大安门", "坏坏坏坏坏"]
+    out = correct_lm_texts(texts, [[4], [0]], res, cfg)
+    assert out[1] == "坏坏坏坏坏"       # poison contained
+    assert len(out[0]) == len(texts[0])  # healthy sentence still scored
+
+
+def test_null_doc_level_probs_plans_agree(ray_session, cfg):
+    """A document with probs=NULL at the doc level (legal schema) must not
+    crash the explode plan and must match the fused plan."""
+    import ray.data
+
+    from ocr_corrector_ray.pipelines.correct import corrected_dataset
+
+    spans = [
+        {"kind": "text", "text": "本着平等白愿诚信互利的原则", "media_ref": "", "offset": 0},
+        {"kind": "image", "text": "", "media_ref": "img://x/1", "offset": 1},
+    ]
+    table = pa.table(
+        {
+            "doc_id": ["doc-null-probs", "doc-normal"],
+            "biz": ["doc", "doc"],
+            "spans": pa.array([spans, spans], type=pa.list_(SPAN_TYPE)),
+            "probs": pa.array(
+                [None, [[0.99] * 13, None]], type=pa.list_(pa.list_(pa.float32()))
+            ),
+        },
+        schema=DOC_SCHEMA,
+    )
+    a = corrected_dataset(ray.data.from_arrow(table), cfg, mode="explode", num_partitions=2).take_all()
+    b = corrected_dataset(ray.data.from_arrow(table), cfg, mode="fused").take_all()
+    key = lambda rows: {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in rows
+    }
+    da, db = key(a), key(b)
+    assert da == db
+    assert len(da) == 2
+
+
+def test_float32_boundary_prob_not_flagged(cfg):
+    """A stored float32 prob of exactly 0.9 must stay clean (strict-<
+    against the same-quantised threshold)."""
+    import numpy as np
+
+    from ocr_corrector_ray.correct import detect_span
+
+    p = [float(np.float32(0.9))] * 7
+    assert detect_span("我爱北京天安门", p, "doc", cfg) is None
+
+
+def test_config_reference_key_aliases(tmp_path):
+    import json
+
+    from ocr_corrector_ray import config as cfgmod
+
+    custom = tmp_path / "c.json"
+    custom.write_text(json.dumps({"correct_config": [{
+        "biz_type": "doc", "corrector_type": "bert",
+        "batch_size": 64, "similarity_threshold": 0.7,
+        "key_words_file": "/tmp/words.txt",
+    }]}))
+    cfg = cfgmod.initial(str(custom))["doc"]
+    assert cfg.lm_batch_size == 64
+    assert cfg.kw_similarity_threshold == 0.7
+    assert cfg.keywords_file == "/tmp/words.txt"
+
+
+def test_custom_keywords_file_honored(tmp_path):
+    from ocr_corrector_ray.correct import CorrectorConfig
+    from ocr_corrector_ray.stages.correct_stage import SpanCorrector
+
+    kwf = tmp_path / "kw.txt"
+    kwf.write_text("自定义关键词\n另一个词\n", encoding="utf-8")
+    sc = SpanCorrector(CorrectorConfig(keywords_file=str(kwf)))
+    assert sc.res.keywords == {"自定义关键词", "另一个词"}
