@@ -101,6 +101,14 @@ def _mask_probabilities(sf_dir: str):
     return mask_probabilities(pairs)
 
 
+def _training_instances(sf_dir: str):
+    from ocr_corrector_ray.pipelines.training import training_instances
+
+    mp = _mask_probabilities(sf_dir).to_pandas()
+    probs = dict(zip(mp["char"], mp["mask_probability"]))
+    return training_instances(_correction_pairs(sf_dir), probs)
+
+
 def _media_features(sf_dir: str):
     import ray.data
 
@@ -152,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "correction_pairs": _correction_pairs,
         "confusion_counts": _confusion_counts,
         "mask_probabilities": _mask_probabilities,
+        "training_instances": _training_instances,
         "media_features": _media_features,
         "ocr_correct_scorer": _ocr_correct_scorer,
         # near-dup family (rows-only)

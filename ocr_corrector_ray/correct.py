@@ -57,10 +57,16 @@ class CorrectorConfig:
         float32 (FIXTURES.md §1), so a recogniser confidence of exactly
         0.9 round-trips to 0.89999997... — comparing against the same-
         quantised threshold keeps the reference's strict-< semantics
-        (prob 0.9 is NOT suspicious) instead of flipping clean chars."""
-        import numpy as np
+        (prob 0.9 is NOT suspicious) instead of flipping clean chars.
+        Cached: this is read once per span in the hot path."""
+        v = self.__dict__.get("_eff_thr")
+        if v is None or self.__dict__.get("_eff_thr_src") != self.prob_threshold:
+            import numpy as np
 
-        return float(np.float32(self.prob_threshold))
+            v = float(np.float32(self.prob_threshold))
+            self.__dict__["_eff_thr"] = v
+            self.__dict__["_eff_thr_src"] = self.prob_threshold
+        return v
 
 
 class CorrectorResources:

@@ -190,6 +190,114 @@ def mask_probabilities(pairs_ds):
     )
 
 
+def training_instances(
+    pairs_ds,
+    mask_probs: dict,
+    dupe_factor: int = 2,
+    seed: int = 12345,
+    fallback_prob: float = 0.15,
+    max_predictions: int = 3,
+):
+    """Masked-LM training instances with confusion-aware masking — the
+    Ray-native restatement of the reference's TFRecord builder
+    (create_tf_record.py:427-539; fixed seed 12345 at :593, dupe_factor
+    at :64-66).  The reference descopes TFRecord output for the serving
+    path (SURVEY §2.1 S10); instances are emitted as parquet-able rows:
+
+        (doc_id, offset, dup, tokens, masked_positions, labels)
+
+    Two instance families per aligned pair:
+    - wrong-sentence instances: exactly the error positions are the
+      prediction targets (create_masked_lm_predictions_for_wrong_sentences)
+    - correct-sentence instances x dupe_factor: positions drawn by the
+      per-char masking probability (confusion-aware), BERT-style
+      80/10/10 [MASK]/random/keep substitution, capped at
+      ``max_predictions`` targets, rng seeded per (sentence, dup) so the
+      output is identical across processes and batch compositions.
+
+    ``mask_probs``: char -> probability (mask_probabilities output).
+    """
+    import hashlib
+    import random as _random
+
+    import ray
+
+    probs_ref = ray.put(dict(mask_probs))
+
+    class Generate:
+        def __init__(self, ref, inventory=None):
+            self.mask_probs = ray.get(ref)
+            from .. import datagen as _dg
+
+            _, inv, _ = _dg.static_tables()
+            self.inventory = inv
+
+        def _emit_correct(self, correct: str, dup: int):
+            h = hashlib.md5(f"{seed}\x1f{correct}\x1f{dup}".encode()).digest()
+            rng = _random.Random(int.from_bytes(h[:8], "big"))
+            cand = list(range(len(correct)))
+            rng.shuffle(cand)  # rng.shuffle(cand_indexes), create_tf_record.py:438
+            tokens = list(correct)
+            positions, labels = [], []
+            for i in cand:
+                if len(positions) >= max_predictions:
+                    break
+                p = self.mask_probs.get(correct[i], fallback_prob)
+                if rng.random() >= p:
+                    continue
+                positions.append(i)
+                labels.append(correct[i])
+                r = rng.random()
+                if r < 0.8:
+                    tokens[i] = "[MASK]"
+                elif r < 0.9:
+                    tokens[i] = self.inventory[rng.randrange(len(self.inventory))]
+                # else: keep the original token
+            if not positions:
+                return None
+            order = sorted(range(len(positions)), key=lambda k: positions[k])
+            return tokens, [positions[k] for k in order], [labels[k] for k in order]
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            rows = {k: [] for k in ("doc_id", "offset", "dup", "tokens",
+                                    "masked_positions", "labels")}
+
+            def add(doc_id, offset, dup, tokens, positions, labels):
+                rows["doc_id"].append(doc_id)
+                rows["offset"].append(offset)
+                rows["dup"].append(dup)
+                rows["tokens"].append(tokens)
+                rows["masked_positions"].append(positions)
+                rows["labels"].append(labels)
+
+            for doc_id, offset, wrong, correct in zip(
+                df["doc_id"], df["offset"], df["wrong"], df["correct"]
+            ):
+                if len(wrong) == len(correct) and wrong != correct:
+                    poses = [i for i, (w, c) in enumerate(zip(wrong, correct)) if w != c]
+                    add(doc_id, offset, -1, list(wrong), poses,
+                        [correct[i] for i in poses])
+                for dup in range(dupe_factor):
+                    inst = self._emit_correct(correct, dup)
+                    if inst:
+                        add(doc_id, offset, dup, *inst)
+            return pd.DataFrame(
+                {
+                    "doc_id": rows["doc_id"],
+                    "offset": pd.Series(rows["offset"], dtype="int32"),
+                    "dup": pd.Series(rows["dup"], dtype="int32"),
+                    "tokens": rows["tokens"],
+                    "masked_positions": rows["masked_positions"],
+                    "labels": rows["labels"],
+                }
+            )
+
+    return pairs_ds.map_batches(
+        Generate, fn_constructor_kwargs={"ref": probs_ref},
+        batch_format="pandas", concurrency=(1, 8),
+    )
+
+
 _SENT_END = re.compile(r"([。；？！])")
 
 

@@ -160,6 +160,34 @@ def test_mask_probabilities_on_corpus(ray_session):
     assert set(mp["char"]) <= set(conf["wrong_char"])
 
 
+def test_training_instances(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from ocr_corrector_ray.pipelines.training import training_instances
+
+    pairs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": ["d1"], "offset": pd.Series([0], dtype="int32"),
+        "wrong": ["白天白日"], "correct": ["自天白日"],
+    }))
+    out1 = training_instances(pairs, {"自": 0.9, "天": 0.5}, dupe_factor=2).to_pandas()
+    out2 = training_instances(pairs, {"自": 0.9, "天": 0.5}, dupe_factor=2).to_pandas()
+    # deterministic across runs
+    pd.testing.assert_frame_equal(
+        out1.sort_values(["dup"]).reset_index(drop=True),
+        out2.sort_values(["dup"]).reset_index(drop=True),
+    )
+    wrongs = out1[out1["dup"] == -1]
+    assert len(wrongs) == 1
+    assert list(wrongs["masked_positions"].iloc[0]) == [0]
+    assert list(wrongs["labels"].iloc[0]) == ["自"]
+    # correct-sentence instances have sorted positions + matching labels
+    for _, row in out1[out1["dup"] >= 0].iterrows():
+        pos = list(row["masked_positions"])
+        assert pos == sorted(pos)
+        assert [("自天白日")[p] for p in pos] == list(row["labels"])
+
+
 def test_sentence_split():
     from ocr_corrector_ray.pipelines.training import split_sentences
 
