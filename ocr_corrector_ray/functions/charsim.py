@@ -182,6 +182,20 @@ class CharMeta:
                     best = ed
         return best
 
+    def similarity(
+        self, char1: str, char2: str, weights=(1.0, 0.0, 0.0)
+    ) -> float:
+        """Weighted combination of shape and pronunciation similarity
+        (char_sim.py:218-235; the frequency term is constant-zero there
+        because char_dict values are initialised to 0 — reproduced)."""
+        shape_w, sound_w, freq_w = weights
+        if char1 not in self.data or char2 not in self.data:
+            return 0.0
+        shape_sim = self.shape_similarity(char1, char2)
+        sound_sim = self.pronunciation_similarity(char1, char2)
+        freq_sim = 1.0  # char_dict frequencies are all zero in the reference
+        return shape_sim * shape_w + sound_sim * sound_w + freq_sim * freq_w
+
     # -- pronunciation ----------------------------------------------------
     def pronunciation_similarity(self, char1: str, char2: str) -> float:
         """Per-language best-pair match averaged over languages

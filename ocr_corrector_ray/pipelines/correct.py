@@ -51,6 +51,11 @@ def enable_hash_shuffle() -> None:
         from ray.data.context import DataContext, ShuffleStrategy
     except ImportError:
         return
+    if _cluster_cpus() < 4:
+        # hash-shuffle aggregator actors cannot co-schedule with even a
+        # one-actor corrector pool on a 2-3 CPU cluster; the sort-based
+        # shuffle uses transient tasks and degrades gracefully instead
+        return
     ctx = DataContext.get_current()
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05

@@ -191,3 +191,10 @@ def test_synthetic_lm_keep_branch_echoes_input(resources):
     out = lm.find_topn_candidates([sent], [[0, 1, 2, 3, 4]])  # >3 errors
     for pos, cands in zip([0, 1, 2, 3, 4], out[0]):
         assert cands[0][0] == sent[pos]  # echo of the unmasked char
+
+
+def test_weighted_similarity(resources):
+    cm = resources.char_meta
+    assert cm.similarity("宋", "未") == pytest.approx(cm.shape_similarity("宋", "未"))
+    assert cm.similarity("宋", "未", weights=(0, 0, 1.0)) == 1.0
+    assert cm.similarity("宋", datagen.EXCLUDED_CHAR) == 0.0
