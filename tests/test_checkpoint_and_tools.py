@@ -229,3 +229,26 @@ def test_media_plumbing(ray_session):
 
     with pytest.raises(NotImplementedError):
         MediaFeaturizer(backend="real")._featurize(b"x", "img://0/0")
+
+
+def test_embedding_api_parity(ray_session, tmp_path):
+    """api.initial() drop-in facade matches the Ray pipeline on the same
+    inputs (README.md:87-93 embedding surface)."""
+    import json
+
+    from ocr_corrector_ray.api import initial
+    from ocr_corrector_ray.pipelines.correct import corrected_dataset
+    from ocr_corrector_ray.sources.ocr_json import read_ocr_json
+
+    texts = ["我爱北京大安门", "宋还本全", "short"]
+    probs = [[0.99, 0.99, 0.99, 0.99, 0.4, 0.99, 0.99], [0.4, 0.99, 0.99, 0.5], [0.2] * 5]
+    correctors = initial()
+    serial = correctors["doc"].correct(texts, probs)
+
+    fixture = tmp_path / "api_ocr_result.json"
+    fixture.write_text(json.dumps({"texts": texts, "probs": probs}, ensure_ascii=False),
+                       encoding="utf-8")
+    out = corrected_dataset(read_ocr_json([str(fixture)], biz="doc")).take_all()
+    pipeline = [s["text"] for s in out[0]["spans"]]
+    assert pipeline == serial
+    assert serial[0] == "我爱北京天安门"
