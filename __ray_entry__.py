@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": analytics.embedding_norms,
         "ann_topk": analytics.ann_topk,
         "events_hourly": analytics.events_hourly,
+        "events_sliding": analytics.events_sliding,
         "sessionize": analytics.sessionize,
         "pricing_summary": analytics.pricing_summary,
         "top_customers": analytics.top_customers,
@@ -232,6 +233,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sliding": """
+            SELECT event_type,
+                   time_bucket(INTERVAL 15 MINUTES, ts)
+                     - to_minutes(15 * k.k) AS window_start,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM events, (SELECT unnest(generate_series(0, 3)) AS k) k
+            GROUP BY 1, 2
         """,
         "sessionize": """
             SELECT user_id,

