@@ -18,6 +18,12 @@ task, which drops documents whose hash partition is already complete
 
 Manifest row schema (FIXTURES.md §8): partition_id, input_fingerprint,
 rows_in, spans_corrected, wall_s, status.
+
+Scale note: resume still READS every input row before the anti-join drops
+completed partitions (row-level filtering cannot prune parquet files that
+mix partitions).  At corpus scale, lay the INPUT out bucketed by the same
+``hash(doc_id) % P`` so a resume skips whole files; the engine's one-key
+partitioning discipline makes that layout natural.
 """
 
 from __future__ import annotations
