@@ -102,11 +102,23 @@ def _mask_probabilities(sf_dir: str):
 
 
 def _training_instances(sf_dir: str):
-    from ocr_corrector_ray.pipelines.training import training_instances
+    import ray.data
 
-    mp = _mask_probabilities(sf_dir).to_pandas()
+    from ocr_corrector_ray.pipelines.training import (
+        correction_pairs,
+        mask_probabilities,
+        training_instances,
+    )
+
+    # one lazy pair stream (all spans, as the reference's doc files carry
+    # unchanged lines too); it executes twice — once reduced to the tiny
+    # mask-probability table, once feeding instance generation
+    pairs = correction_pairs(
+        ray.data.read_parquet(_corpus_for(sf_dir)), changed_only=False
+    )
+    mp = mask_probabilities(pairs).to_pandas()
     probs = dict(zip(mp["char"], mp["mask_probability"]))
-    return training_instances(_correction_pairs(sf_dir), probs)
+    return training_instances(pairs, probs)
 
 
 def _media_features(sf_dir: str):

@@ -69,6 +69,10 @@ def _build_default(entry: dict) -> CorrectorConfig:
         # aliased/known keys set the real knob; unknown keys become new
         # attributes (from_dict dynamic-schema parity)
         setattr(cfg, target, value)
+    # the dispatch key the reference's registry switches on
+    # (corrector/__init__.py:31-37) — consumers route keyword-vs-LM by
+    # corrector_type, never by the biz name
+    cfg.corrector_type = entry.get("corrector_type", "lm")
     return cfg
 
 

@@ -66,6 +66,7 @@ class BatchData:
         error_positions: Sequence[Sequence[int]],
         tokenizer: FullTokenizer,
         max_seq_length: int,
+        pre_tokens: Sequence[Sequence[str]] | None = None,
     ):
         self.batch_size = len(sentences)
         self.seq_length = max_seq_length
@@ -73,8 +74,10 @@ class BatchData:
         self.batch_error_num = max(self.error_num_of_sents) if self.error_num_of_sents else 0
 
         prepped = []
-        for sent, errs in zip(sentences, error_positions):
-            tokens = tokenizer.tokenize(sent)
+        for idx, (sent, errs) in enumerate(zip(sentences, error_positions)):
+            tokens = (
+                list(pre_tokens[idx]) if pre_tokens is not None else tokenizer.tokenize(sent)
+            )
             framed, errs2 = frame_sentence(tokens, list(errs), max_seq_length)
             prepped.append(create_masks(framed, errs2))
         # the reference's graph takes a dynamic sequence dim and never
@@ -153,40 +156,40 @@ class MaskedLMScorer(CandidateModel):
         self.max_seq_length = max_seq_length
         self.batch_size = batch_size
 
-    def _aligned(self, sent: str, errs: Sequence[int]) -> bool:
-        """The scorer's positional contract: error positions are CHAR
-        indices, valid only when tokenization is one-token-per-char (true
-        for the CJK spans the LM filter admits).  Whitespace/control chars
-        the tokenizer drops would silently shift every position — such
-        sentences are declared unscorable instead (empty candidate lists
-        => the acceptance loop's per-text containment passes them
-        through)."""
-        toks = self.tokenizer.tokenize(sent)
-        if len(toks) != len(sent):
-            return False
-        return all(0 <= e < len(sent) for e in errs)
-
     def find_topn_candidates(
         self, sentences: Sequence[str], error_positions: Sequence[Sequence[int]]
     ) -> List[List[List[Candidate]]]:
-        aligned = [
-            self._aligned(s, list(e)) for s, e in zip(sentences, error_positions)
-        ]
+        # The scorer's positional contract: error positions are CHAR
+        # indices, valid only when tokenization is one-token-per-char
+        # (true for the CJK spans the LM filter admits).  Whitespace /
+        # control chars the tokenizer drops would silently shift every
+        # position — such sentences are declared unscorable (empty
+        # candidate lists => the acceptance loop's per-text containment
+        # passes them through).  Tokenised ONCE here; tokens flow into
+        # BatchData via pre_tokens.
+        all_tokens = [self.tokenizer.tokenize(s) for s in sentences]
         out_map: dict = {}
-        scorable = [i for i, ok in enumerate(aligned) if ok]
-        for i, ok in enumerate(aligned):
-            if not ok:
-                out_map[i] = [[] for _ in error_positions[i]]
+        scorable = []
+        for i, (sent, toks) in enumerate(zip(sentences, all_tokens)):
+            errs = list(error_positions[i])
+            if len(toks) == len(sent) and all(0 <= e < len(sent) for e in errs):
+                scorable.append(i)
+            else:
+                out_map[i] = [[] for _ in errs]
         scored = self._score(
             [sentences[i] for i in scorable],
             [list(error_positions[i]) for i in scorable],
+            [all_tokens[i] for i in scorable],
         )
         for i, res in zip(scorable, scored):
             out_map[i] = res
         return [out_map[i] for i in range(len(sentences))]
 
     def _score(
-        self, sentences: Sequence[str], error_positions: Sequence[Sequence[int]]
+        self,
+        sentences: Sequence[str],
+        error_positions: Sequence[Sequence[int]],
+        pre_tokens: Sequence[Sequence[str]],
     ) -> List[List[List[Candidate]]]:
         result: List[List[List[Candidate]]] = []
         inv = self.tokenizer.inv_vocab
@@ -196,6 +199,7 @@ class MaskedLMScorer(CandidateModel):
                 [list(e) for e in error_positions[start : start + self.batch_size]],
                 self.tokenizer,
                 self.max_seq_length,
+                pre_tokens=pre_tokens[start : start + self.batch_size],
             )
             for i in range(batch.batch_size):
                 n_err = batch.error_num_of_sents[i]

@@ -38,7 +38,9 @@ def grouped_agg(
     named = {out: pd.NamedAgg(column=src, aggfunc=fn) for out, (src, fn) in aggs.items()}
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.drop(columns=[_KPID]).groupby(keys, as_index=False).agg(**named)
+        # dropna=False: SQL GROUP BY and Ray's aggregate both keep null
+        # keys; pandas' default would silently drop those groups
+        g = df.drop(columns=[_KPID]).groupby(keys, as_index=False, dropna=False).agg(**named)
         for out, (_, fn) in aggs.items():
             if fn == "size":
                 g[out] = g[out].astype("int64")

@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Sum
 
 STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
 
@@ -447,8 +447,10 @@ def purchase_prior_click(sf_dir: str, num_buckets: int = 8):
 def top_customers(sf_dir: str, n: int = 10):
     """Top-n customers by total order value; the customer dimension is a
     broadcast lookup (ray.put once), NOT a shuffle join."""
+    from ._agg import grouped_agg
+
     orders = ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
-    totals = orders.groupby("o_custkey").aggregate(Sum("o_totalprice", alias_name="total_price"))
+    totals = grouped_agg(orders, ["o_custkey"], {"total_price": ("o_totalprice", "sum")})
 
     import pyarrow.parquet as pq
 

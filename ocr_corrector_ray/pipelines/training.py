@@ -132,7 +132,7 @@ def confusion_counts(pairs_ds):
 
 def mask_probabilities(pairs_ds):
     """Per-character masking probability for confusion-aware LM training —
-    the reference's ``mask_probability.sav`` computation restated exactly
+    the reference's ``mask_probability.sav`` computation
     (create_data.py:123-147): keyed by the WRONG char ``w``,
 
         mask_prob(w) = min( max_c count(w -> c at w != c positions)
@@ -141,45 +141,76 @@ def mask_probabilities(pairs_ds):
     Chars that never appear UNCHANGED anywhere get no entry (the reference
     asserts ``correct_count != 0`` and simply omits them).
 
-    The aligned pairs are materialised once (they are the small changed-
-    span subset) and feed two partial aggregations; the final division
-    happens on two tiny tables.  Returns a ray Dataset (char,
-    mask_probability) like every other query."""
+    The reference scans its AUGMENTED corpus for the denominator: every
+    changed sentence is written twice — (wrong, correct) AND (correct,
+    correct) (create_data.py:98-101) — so for changed rows the unchanged
+    count here includes the correct-duplicate's positions too.  (The
+    reference additionally writes randomly interpolated fake docs from an
+    UNSEEDED np.random — irreproducible even run-to-run there — which
+    this deterministic engine intentionally omits.)
+
+    Feed ``correction_pairs(..., changed_only=False)`` so unchanged spans
+    contribute as well.  Single pass: one map_batches emits both the
+    confusion partials and the unchanged partials; nothing large is
+    materialised.  Returns a ray Dataset (char, mask_probability)."""
     import ray.data
 
-    pairs_ds = pairs_ds.materialize()  # consumed twice below; pairs are small
-
-    def unchanged_partials(df: pd.DataFrame) -> pd.DataFrame:
-        counts: dict = {}
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        conf: dict = {}
+        occ: dict = {}
         for wrong, correct in zip(df["wrong"], df["correct"]):
             if len(wrong) != len(correct):
                 continue  # alignment guard, mirrors confusion_counts
+            changed = wrong != correct
             for wc, cc in zip(wrong, correct):
-                if wc == cc:
-                    counts[wc] = counts.get(wc, 0) + 1
+                if wc != cc:
+                    conf[(wc, cc)] = conf.get((wc, cc), 0) + 1
+                else:
+                    occ[wc] = occ.get(wc, 0) + 1
+            if changed:
+                # the (correct, correct) duplicate the reference writes
+                for cc in correct:
+                    occ[cc] = occ.get(cc, 0) + 1
+        rows_kind, rows_a, rows_b, rows_n = [], [], [], []
+        for (wc, cc), n in conf.items():
+            rows_kind.append("conf")
+            rows_a.append(wc)
+            rows_b.append(cc)
+            rows_n.append(n)
+        for ch, n in occ.items():
+            rows_kind.append("occ")
+            rows_a.append(ch)
+            rows_b.append("")
+            rows_n.append(n)
         return pd.DataFrame(
             {
-                "char": pd.Series(list(counts), dtype="object"),
-                "n_occ": pd.Series(list(counts.values()), dtype="int64"),
+                "kind": pd.Series(rows_kind, dtype="object"),
+                "a": pd.Series(rows_a, dtype="object"),
+                "b": pd.Series(rows_b, dtype="object"),
+                "n": pd.Series(rows_n, dtype="int64"),
             }
         )
 
-    occ = (
-        pairs_ds.map_batches(unchanged_partials, batch_format="pandas")
-        .groupby("char")
-        .aggregate(Sum("n_occ", alias_name="n_occ"))
-        .to_pandas()
-    )
-    conf = confusion_counts(pairs_ds).to_pandas()
+    from ._agg import grouped_agg
+
+    merged_counts = grouped_agg(
+        pairs_ds.map_batches(partials, batch_format="pandas"),
+        ["kind", "a", "b"],
+        {"n": ("n", "sum")},
+    ).to_pandas()
+
     empty = pd.DataFrame(
         {"char": pd.Series([], dtype="object"),
          "mask_probability": pd.Series([], dtype="float64")}
     )
+    conf = merged_counts[merged_counts["kind"] == "conf"]
+    occ = merged_counts[merged_counts["kind"] == "occ"][["a", "n"]].rename(
+        columns={"a": "char", "n": "n_occ"}
+    )
     if conf.empty:
         return ray.data.from_pandas(empty)
     # top confusion per WRONG char (top_confusions[k[0]], create_data.py:124-129)
-    top = conf.groupby("wrong_char", as_index=False)["n"].max()
-    top = top.rename(columns={"wrong_char": "char"})
+    top = conf.groupby("a", as_index=False)["n"].max().rename(columns={"a": "char"})
     # inner merge: chars never seen unchanged are omitted (reference parity)
     merged = top.merge(occ, on="char", how="inner")
     if merged.empty:
@@ -195,27 +226,35 @@ def training_instances(
     mask_probs: dict,
     dupe_factor: int = 2,
     seed: int = 12345,
-    fallback_prob: float = 0.15,
-    max_predictions: int = 3,
+    masked_lm_prob: float = 0.15,
+    max_predictions: int = 20,
 ):
     """Masked-LM training instances with confusion-aware masking — the
     Ray-native restatement of the reference's TFRecord builder
-    (create_tf_record.py:427-539; fixed seed 12345 at :593, dupe_factor
-    at :64-66).  The reference descopes TFRecord output for the serving
-    path (SURVEY §2.1 S10); instances are emitted as parquet-able rows:
+    (create_tf_record.py:427-539; seed 12345 at :593, dupe_factor :64-66).
+    TFRecord output itself is descoped for the serving path (SURVEY §2.1
+    S10); instances are parquet-able rows:
 
-        (doc_id, offset, dup, tokens, masked_positions, labels)
+        (doc_id, offset, source, dup, tokens, masked_positions, labels)
 
-    Two instance families per aligned pair:
-    - wrong-sentence instances: exactly the error positions are the
-      prediction targets (create_masked_lm_predictions_for_wrong_sentences)
-    - correct-sentence instances x dupe_factor: positions drawn by the
-      per-char masking probability (confusion-aware), BERT-style
-      80/10/10 [MASK]/random/keep substitution, capped at
-      ``max_predictions`` targets, rng seeded per (sentence, dup) so the
-      output is identical across processes and batch compositions.
+    Per aligned pair, per duplicate:
+    - ``source='correct'`` (create_masked_lm_predictions:427-485):
+      ~``masked_lm_prob`` of positions selected (shuffled candidates,
+      capped at ``max_predictions``), BERT 80/10/10 substitution, then
+      the confusion-aware OVERRIDE — a char in ``mask_probs`` is, with
+      that probability, kept VISIBLE (the model must learn to judge a
+      possibly-wrong char it can see).
+    - ``source='wrong'`` (…_for_wrong_sentences:488-539): every confused
+      position is a target (the wrong char stays visible, label = the
+      correct char); unchanged positions join as targets with their
+      ``mask_probs`` probability; 100% masking-rate cap.
 
-    ``mask_probs``: char -> probability (mask_probabilities output).
+    Deviations from the reference, on purpose: rng is seeded per
+    (sentence, dup) instead of one shared sequential stream (the
+    reference's instance content depends on corpus iteration order and
+    is not reproducible across runs — here it is, and is independent of
+    batch composition); sequences are raw char lists without [CLS]/[SEP]
+    framing (framing belongs to model/scorer.py).
     """
     import hashlib
     import random as _random
@@ -225,46 +264,82 @@ def training_instances(
     probs_ref = ray.put(dict(mask_probs))
 
     class Generate:
-        def __init__(self, ref, inventory=None):
+        def __init__(self, ref):
             self.mask_probs = ray.get(ref)
             from .. import datagen as _dg
 
             _, inv, _ = _dg.static_tables()
             self.inventory = inv
 
+        def _rng(self, *parts) -> _random.Random:
+            h = hashlib.md5("\x1f".join(str(p) for p in parts).encode()).digest()
+            return _random.Random(int.from_bytes(h[:8], "big"))
+
         def _emit_correct(self, correct: str, dup: int):
-            h = hashlib.md5(f"{seed}\x1f{correct}\x1f{dup}".encode()).digest()
-            rng = _random.Random(int.from_bytes(h[:8], "big"))
+            rng = self._rng(seed, "correct", correct, dup)
             cand = list(range(len(correct)))
-            rng.shuffle(cand)  # rng.shuffle(cand_indexes), create_tf_record.py:438
+            rng.shuffle(cand)
+            num_to_predict = min(
+                max_predictions, max(1, int(round(len(correct) * masked_lm_prob)))
+            )
             tokens = list(correct)
-            positions, labels = [], []
-            for i in cand:
-                if len(positions) >= max_predictions:
+            selected = []
+            for index in cand:
+                if len(selected) >= num_to_predict:
                     break
-                p = self.mask_probs.get(correct[i], fallback_prob)
-                if rng.random() >= p:
-                    continue
-                positions.append(i)
-                labels.append(correct[i])
-                r = rng.random()
-                if r < 0.8:
-                    tokens[i] = "[MASK]"
-                elif r < 0.9:
-                    tokens[i] = self.inventory[rng.randrange(len(self.inventory))]
-                # else: keep the original token
-            if not positions:
+                if rng.random() < 0.8:
+                    masked = "[MASK]"
+                elif rng.random() < 0.5:
+                    masked = correct[index]
+                else:
+                    masked = self.inventory[rng.randrange(len(self.inventory))]
+                # confusion-aware override: a confusable char stays VISIBLE
+                # with its masking probability (create_tf_record.py:466-470)
+                p = self.mask_probs.get(correct[index])
+                if p is not None and rng.random() < p:
+                    masked = correct[index]
+                tokens[index] = masked
+                selected.append(index)
+            if not selected:
                 return None
-            order = sorted(range(len(positions)), key=lambda k: positions[k])
-            return tokens, [positions[k] for k in order], [labels[k] for k in order]
+            selected.sort()
+            return tokens, selected, [correct[i] for i in selected]
+
+        def _emit_wrong(self, wrong: str, correct: str, dup: int):
+            rng = self._rng(seed, "wrong", wrong, correct, dup)
+            cand = []
+            for i, (w, c) in enumerate(zip(wrong, correct)):
+                if w != c:
+                    cand.append(i)
+                else:
+                    p = self.mask_probs.get(c)
+                    if p is not None and rng.random() < p:
+                        cand.append(i)
+            rng.shuffle(cand)
+            num_to_predict = min(max_predictions, max(1, len(correct)))  # 100% rate
+            tokens = list(correct)
+            selected = []
+            for index in cand:
+                if len(selected) >= num_to_predict:
+                    break
+                tokens[index] = wrong[index]  # the wrong char stays visible
+                selected.append(index)
+            if not selected:
+                return None
+            selected.sort()
+            return tokens, selected, [correct[i] for i in selected]
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            rows = {k: [] for k in ("doc_id", "offset", "dup", "tokens",
+            rows = {k: [] for k in ("doc_id", "offset", "source", "dup", "tokens",
                                     "masked_positions", "labels")}
 
-            def add(doc_id, offset, dup, tokens, positions, labels):
+            def add(doc_id, offset, source, dup, inst):
+                if inst is None:
+                    return
+                tokens, positions, labels = inst
                 rows["doc_id"].append(doc_id)
                 rows["offset"].append(offset)
+                rows["source"].append(source)
                 rows["dup"].append(dup)
                 rows["tokens"].append(tokens)
                 rows["masked_positions"].append(positions)
@@ -273,18 +348,19 @@ def training_instances(
             for doc_id, offset, wrong, correct in zip(
                 df["doc_id"], df["offset"], df["wrong"], df["correct"]
             ):
-                if len(wrong) == len(correct) and wrong != correct:
-                    poses = [i for i, (w, c) in enumerate(zip(wrong, correct)) if w != c]
-                    add(doc_id, offset, -1, list(wrong), poses,
-                        [correct[i] for i in poses])
+                if len(wrong) != len(correct) or not correct:
+                    continue
                 for dup in range(dupe_factor):
-                    inst = self._emit_correct(correct, dup)
-                    if inst:
-                        add(doc_id, offset, dup, *inst)
+                    if wrong != correct:
+                        add(doc_id, offset, "wrong", dup,
+                            self._emit_wrong(wrong, correct, dup))
+                    add(doc_id, offset, "correct", dup,
+                        self._emit_correct(correct, dup))
             return pd.DataFrame(
                 {
                     "doc_id": rows["doc_id"],
                     "offset": pd.Series(rows["offset"], dtype="int32"),
+                    "source": pd.Series(rows["source"], dtype="object"),
                     "dup": pd.Series(rows["dup"], dtype="int32"),
                     "tokens": rows["tokens"],
                     "masked_positions": rows["masked_positions"],

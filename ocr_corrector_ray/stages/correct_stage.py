@@ -75,10 +75,15 @@ class _CorrectorBase:
         from ..correct import CorrectorConfig as _CC
 
         kwf = getattr(self.cfg, "keywords_file", None)
-        if kwf and kwf != _CC().keywords_file and _os.path.exists(kwf):
-            with open(kwf, encoding="utf-8") as f:
+        if kwf and kwf != _CC().keywords_file:
+            # explicit config must not fall back silently: a typo'd path
+            # would run the whole corpus against the wrong keyword set
+            with open(kwf, encoding="utf-8") as f:  # raises on a bad path
                 sd = dict(sd)
                 sd["keywords"] = [line.strip() for line in f if line.strip()]
+        # which biz values route to the keyword path (custom biz types from
+        # the config registry route by corrector_type, like the reference)
+        self.keyword_bizs = set(getattr(self.cfg, "keyword_biz_types", ("report",)))
         self.res = build_resources(
             sd["char_meta"],
             sd["keywords"],
@@ -118,11 +123,12 @@ class _CorrectorBase:
             if kind == "image" or not text:
                 continue
             p = probs[i] if kind == "text" else None
-            err = detect_span(text, p, bizs[i], self.cfg)
+            biz = "report" if bizs[i] in self.keyword_bizs else "doc"
+            err = detect_span(text, p, biz, self.cfg)
             if err is None:
                 continue
             key = (text, tuple(err))
-            if bizs[i] == "report":
+            if biz == "report":
                 hit = kw_cache.get(key)
                 if hit is None:
                     hit = correct_keyword_text(text, err, self.res, self.cfg)

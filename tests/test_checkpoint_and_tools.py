@@ -135,10 +135,11 @@ def test_mask_probabilities_reference_formula(ray_session):
         "correct": ["自天白", "自天自", "天自天"],
     }))
     mp = mask_probabilities(pairs).to_pandas().set_index("char")
-    # 白->自 occurs 3 times (d1 pos0, d2 pos0+pos2, d3 pos1) = 4? count:
-    # d1: 白->自 (pos0), 白->白 unchanged (pos2); d2: 白->自 (pos0), 白->自 (pos2)
-    # d3: 白->自 (pos1).  So count(白->自)=4, 白 unchanged=1 -> min(4/1,1)=1.0
-    # 天 unchanged: d1 pos1, d2 pos1, d3 pos0+pos2 = 4; 天 never wrong -> no entry
+    # count(白->自) = 4 (d1 pos0; d2 pos0+pos2; d3 pos1)
+    # unchanged 白 = 1 (d1 pos2) + 1 from d1's (correct, correct) duplicate
+    #   (the reference writes every changed sentence twice,
+    #   create_data.py:98-101) = 2 -> min(4/2, 1.0) = 1.0
+    # 天 is never a WRONG char -> no entry
     assert mp.loc["白", "mask_probability"] == 1.0
     assert "天" not in mp.index
 
@@ -174,17 +175,20 @@ def test_training_instances(ray_session):
     out2 = training_instances(pairs, {"自": 0.9, "天": 0.5}, dupe_factor=2).to_pandas()
     # deterministic across runs
     pd.testing.assert_frame_equal(
-        out1.sort_values(["dup"]).reset_index(drop=True),
-        out2.sort_values(["dup"]).reset_index(drop=True),
+        out1.sort_values(["source", "dup"]).reset_index(drop=True),
+        out2.sort_values(["source", "dup"]).reset_index(drop=True),
     )
-    wrongs = out1[out1["dup"] == -1]
-    assert len(wrongs) == 1
-    assert list(wrongs["masked_positions"].iloc[0]) == [0]
-    assert list(wrongs["labels"].iloc[0]) == ["自"]
-    # correct-sentence instances have sorted positions + matching labels
-    for _, row in out1[out1["dup"] >= 0].iterrows():
+    wrongs = out1[out1["source"] == "wrong"]
+    assert len(wrongs) == 2  # one per duplicate
+    for _, row in wrongs.iterrows():
         pos = list(row["masked_positions"])
-        assert pos == sorted(pos)
+        assert 0 in pos                      # the confused position is always a target
+        assert row["tokens"][0] == "白"      # the wrong char stays VISIBLE
+        assert row["labels"][pos.index(0)] == "自"
+    # correct-sentence instances: sorted positions, labels = correct chars
+    for _, row in out1[out1["source"] == "correct"].iterrows():
+        pos = list(row["masked_positions"])
+        assert pos == sorted(pos) and len(pos) >= 1
         assert [("自天白日")[p] for p in pos] == list(row["labels"])
 
 
