@@ -169,6 +169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": analytics.top_customers,
         "order_revenue": analytics.order_revenue,
         "purchase_prior_click": analytics.purchase_prior_click,
+        "part_type_stats": analytics.part_type_stats,
+        "top_user_per_event_type": analytics.top_user_per_event_type,
         # training-data tooling + multimodal plumbing (rows-only)
         "correction_pairs": _correction_pairs,
         "confusion_counts": _confusion_counts,
@@ -283,6 +285,20 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts > c.ts
+        """,
+        "part_type_stats": """
+            SELECT split_part(p_type, ' ', 1) AS type_prefix,
+                   count(*) AS n_parts,
+                   round(sum(p_retailprice), 2) AS sum_price,
+                   round(max(p_retailprice), 2) AS max_price
+            FROM part GROUP BY 1
+        """,
+        "top_user_per_event_type": """
+            SELECT event_type, user_id, total_value FROM (
+                SELECT event_type, user_id, round(sum(value), 4) AS total_value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY round(sum(value), 4) DESC, user_id) AS rn
+                FROM events GROUP BY event_type, user_id) WHERE rn = 1
         """,
         "top_customers": """
             SELECT t.c_custkey, c.c_name, t.total_price

@@ -444,6 +444,57 @@ def purchase_prior_click(sf_dir: str, num_buckets: int = 8):
     ).map_groups(asof_bucket, batch_format="pandas")
 
 
+def part_type_stats(sf_dir: str):
+    """Per part type-prefix (first word of p_type): count, total and max
+    retail price — column-pruned read + vectorized derive + grouped agg."""
+    from ._agg import grouped_agg
+
+    ds = ray.data.read_parquet(_p(sf_dir, "part"), columns=["p_type", "p_retailprice"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "type_prefix": df["p_type"].str.split(" ").str[0],
+                "p_retailprice": df["p_retailprice"],
+            }
+        )
+
+    agg = grouped_agg(
+        ds.map_batches(derive, batch_format="pandas"),
+        ["type_prefix"],
+        {
+            "n_parts": ("p_retailprice", "size"),
+            "sum_price": ("p_retailprice", "sum"),
+            "max_price": ("p_retailprice", "max"),
+        },
+    )
+    return agg.map_batches(
+        lambda df: df.assign(
+            sum_price=df["sum_price"].round(2), max_price=df["max_price"].round(2)
+        ),
+        batch_format="pandas",
+    )
+
+
+def top_user_per_event_type(sf_dir: str):
+    """For each event_type, the user with the highest summed value (ties
+    broken by user_id) — the window-function shape done as grouped
+    partials + a per-group argmax."""
+    from ._agg import grouped_agg
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_type", "user_id", "value"])
+    totals = grouped_agg(
+        ds, ["event_type", "user_id"], {"total_value": ("value", "sum")}
+    )
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(total_value=df["total_value"].round(4))
+        df = df.sort_values(["total_value", "user_id"], ascending=[False, True])
+        return df.head(1)
+
+    return totals.groupby("event_type").map_groups(argmax, batch_format="pandas")
+
+
 def top_customers(sf_dir: str, n: int = 10):
     """Top-n customers by total order value; the customer dimension is a
     broadcast lookup (ray.put once), NOT a shuffle join."""

@@ -374,6 +374,14 @@ def training_instances(
     )
 
 
+def write_training_corpus(instances_ds, out_dir: str, seed: int = 12345):
+    """Seeded global shuffle + partitioned parquet write of training
+    instances — the reference shuffles instances before writing its
+    TFRecord shards (create_tf_record.py:593 rng; SURVEY §2.6)."""
+    instances_ds.random_shuffle(seed=seed).write_parquet(out_dir)
+    return out_dir
+
+
 _SENT_END = re.compile(r"([。；？！])")
 
 

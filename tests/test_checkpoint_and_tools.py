@@ -256,3 +256,20 @@ def test_embedding_api_parity(ray_session, tmp_path):
     pipeline = [s["text"] for s in out[0]["spans"]]
     assert pipeline == serial
     assert serial[0] == "我爱北京天安门"
+
+
+def test_write_training_corpus(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data
+
+    from ocr_corrector_ray.pipelines.training import training_instances, write_training_corpus
+
+    pairs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": ["d1", "d2"], "offset": pd.Series([0, 0], dtype="int32"),
+        "wrong": ["白天白日", "宋还本全"], "correct": ["自天白日", "未还本金"],
+    }))
+    inst = training_instances(pairs, {"自": 0.9}, dupe_factor=2)
+    out = write_training_corpus(inst, str(tmp_path / "corpus"))
+    back = ray.data.read_parquet(out).to_pandas()
+    assert len(back) > 0
+    assert {"doc_id", "source", "dup", "tokens", "masked_positions", "labels"} <= set(back.columns)
