@@ -50,6 +50,15 @@ class CorrectorConfig:
     lm_backend: str = "synthetic"
     lm_batch_size: int = 16
     keywords_file: str = os.path.join(DATA_DIR, "keywords_credit_report.txt")
+    # detector for spans WITHOUT recogniser confidences:
+    #   "all"  — every position suspect (the reference's probs=None branch;
+    #            default, conformance surface)
+    #   "lm"   — per-character likelihoods from the detector network over a
+    #            sliding context window; the lowest-likelihood chars
+    #            (bottom lm_detect_quantile, capped at 3 so the masked
+    #            branch applies) are flagged
+    nonprob_detector: str = "all"
+    lm_detect_quantile: float = 0.2
 
     @property
     def effective_prob_threshold(self) -> float:
@@ -74,12 +83,26 @@ class CorrectorResources:
     char-meta similarity table, the BK-tree + keyword set, and the
     candidate LM (SURVEY.md §2.3 ST1-ST4)."""
 
-    def __init__(self, char_meta: CharMeta, keywords: Sequence[str], lm: CandidateModel):
+    def __init__(
+        self,
+        char_meta: CharMeta,
+        keywords: Sequence[str],
+        lm: CandidateModel,
+        detector=None,
+    ):
         self.char_meta = char_meta
         self.keywords_list = sorted(set(keywords))
         self.keywords = set(self.keywords_list)
         self.bktree = BKTree(self.keywords_list)
         self.lm = lm
+        self._detector = detector  # built lazily when nonprob_detector="lm"
+
+    def detector(self):
+        if self._detector is None:
+            from .model.detector import LikelihoodDetector
+
+            self._detector = LikelihoodDetector()
+        return self._detector
 
 
 import re as _re
@@ -183,15 +206,18 @@ def detect_span(
     probs: Optional[Sequence[float]],
     biz: str,
     cfg: CorrectorConfig,
+    res: Optional[CorrectorResources] = None,
 ) -> Optional[List[int]]:
     """Eligibility filter + error detection on an (already extracted) span.
     Returns the suspicious positions, or None when the span passes through
     uncorrected.
 
-    ``probs`` is None for spans with no recogniser confidences (the
-    reference's ``probs=None`` branch, base_corrector.py:36-39: every
-    position becomes suspect); an EMPTY probs list means "confidences
-    present, nothing suspicious" => pass-through.
+    ``probs`` is None for spans with no recogniser confidences.  Default:
+    every position becomes suspect (the reference's ``probs=None`` branch,
+    base_corrector.py:36-39); with ``cfg.nonprob_detector="lm"`` (and
+    ``res`` given) the LM likelihood detector flags only the chars the
+    model finds least likely in context.  An EMPTY probs list means
+    "confidences present, nothing suspicious" => pass-through.
     """
     if biz == "report":
         if not textproc.base_correct_filter(text):
@@ -200,6 +226,9 @@ def detect_span(
         if not textproc.lm_correct_filter(text, cfg.max_seq_length):
             return None
     if probs is None:
+        if cfg.nonprob_detector == "lm" and res is not None:
+            err = res.detector().suspicious_positions(text, cfg.lm_detect_quantile)
+            return err if err else None
         return list(range(len(text)))
     err = textproc.find_err_pos(probs, cfg.effective_prob_threshold)
     return err if err else None
@@ -218,7 +247,7 @@ def correct_one_span(
     if kind == "image" or not text:
         return text
     text = extract_span(kind, text)
-    err = detect_span(text, probs if kind == "text" else None, biz, cfg)
+    err = detect_span(text, probs if kind == "text" else None, biz, cfg, res)
     if err is None:
         return text
     if biz == "report":

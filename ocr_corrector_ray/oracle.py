@@ -50,8 +50,16 @@ def _correct_page(
             to_pass.append((i, text))
             continue
         if p is None:
-            to_correct.append(text)
-            err_positions.append(list(range(len(text))))
+            if cfg.nonprob_detector == "lm":
+                err = res.detector().suspicious_positions(text, cfg.lm_detect_quantile)
+                if not err:
+                    to_pass.append((i, text))
+                else:
+                    to_correct.append(text)
+                    err_positions.append(err)
+            else:
+                to_correct.append(text)
+                err_positions.append(list(range(len(text))))
             continue
         err = textproc.find_err_pos(p, cfg.effective_prob_threshold)
         if not err:

@@ -124,7 +124,7 @@ class _CorrectorBase:
                 continue
             p = probs[i] if kind == "text" else None
             biz = "report" if bizs[i] in self.keyword_bizs else "doc"
-            err = detect_span(text, p, biz, self.cfg)
+            err = detect_span(text, p, biz, self.cfg, self.res)
             if err is None:
                 continue
             key = (text, tuple(err))

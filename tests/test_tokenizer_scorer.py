@@ -130,3 +130,44 @@ def test_scorer_backend_pipeline_matches_oracle(ray_session):
         for r in out
     }
     assert got == expected
+
+
+def test_likelihood_detector_contract():
+    from ocr_corrector_ray.model.detector import LikelihoodDetector
+
+    det = LikelihoodDetector()
+    text = "本着平等自愿诚信互利的原则"
+    lik = det.char_likelihoods(text)
+    assert len(lik) == len(text)
+    assert (lik > 0).all() and (lik < 1).all()
+    pos = det.suspicious_positions(text)
+    assert 1 <= len(pos) <= 3
+    assert pos == sorted(pos)
+    assert pos == det.suspicious_positions(text)  # deterministic
+
+
+def test_lm_detector_pipeline_matches_oracle(ray_session):
+    """Conformance with the LM likelihood detector for non-prob spans."""
+    import pyarrow.parquet as pq
+
+    from ocr_corrector_ray import datagen, oracle
+    from ocr_corrector_ray.correct import CorrectorConfig, build_resources
+    from ocr_corrector_ray.pipelines.correct import corrected_dataset
+
+    cfg = CorrectorConfig(nonprob_detector="lm")
+    kws, inv, _ = datagen.static_tables()
+    res = build_resources(datagen.build_char_meta(), kws, datagen.confusion_rev(), inv)
+    corpus = datagen.corpus_path(150)
+    import pyarrow.dataset as pads
+
+    docs = pads.dataset(corpus).to_table().to_pylist()
+    expected = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in oracle.correct_table(docs, res, cfg)
+    }
+    out = corrected_dataset(corpus, cfg).take_all()
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in out
+    }
+    assert got == expected
