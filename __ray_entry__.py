@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": analytics.dedup_exact,
         "embedding_norms": analytics.embedding_norms,
         "ann_topk": analytics.ann_topk,
+        "ivf_ann_topk": analytics.ivf_ann_topk,  # approximate: rows-only check
         "events_hourly": analytics.events_hourly,
         "events_sliding": analytics.events_sliding,
         "sessionize": analytics.sessionize,

@@ -219,6 +219,88 @@ def ann_topk(sf_dir: str, k: int = 5, n_queries: int = 10):
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def ivf_ann_topk(
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 5,
+):
+    """IVF variant of ANN top-k — the scale path: vectors are assigned to
+    coarse centroid lists (seeded k-means, a few Lloyd iterations on a
+    sample, computed once and broadcast); each query scans only its
+    ``n_probe`` nearest lists, so the per-batch work drops from O(all
+    vectors) to O(probed share).  Approximate by construction (recall < 1
+    is the contract; ``ann_topk`` is the exact baseline)."""
+    import pyarrow.parquet as pq
+
+    path = _p(sf_dir, "embeddings")
+    table = pq.read_table(path, columns=["vec_id", "embedding"])
+    V_all = np.stack([np.asarray(v, dtype=np.float64) for v in table.column("embedding").to_pylist()])
+    V_all = V_all / np.linalg.norm(V_all, axis=1, keepdims=True)
+    ids_all = np.asarray(table.column("vec_id").to_pylist(), dtype=np.int64)
+
+    # centroid training: seeded sample + 3 Lloyd iterations (driver-side on
+    # a SAMPLE — at corpus scale this is a separate small job)
+    rng = np.random.RandomState(seed)
+    sample = V_all[rng.choice(len(V_all), size=min(len(V_all), 64 * n_lists), replace=False)]
+    C = sample[rng.choice(len(sample), size=n_lists, replace=False)].copy()
+    for _ in range(3):
+        assign = (sample @ C.T).argmax(axis=1)
+        for j in range(n_lists):
+            members = sample[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / np.linalg.norm(c)
+
+    qmask = ids_all < n_queries
+    Q, qids = V_all[qmask], ids_all[qmask]
+    probe_lists = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]  # (q, n_probe)
+    side = ray.put((C, Q, qids, probe_lists))
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+
+    class ProbedTopK:
+        def __init__(self, ref, k):
+            self.C, self.Q, self.qids, self.probe = ray.get(ref)
+            self.k = k
+
+        def __call__(self, batch: dict) -> dict:
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            vids = np.asarray(batch["vec_id"])
+            lists = (V @ self.C.T).argmax(axis=1)  # (b,)
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(self.qids)):
+                probe_mask = np.isin(lists, self.probe[qi]) & (vids != self.qids[qi])
+                idx = np.nonzero(probe_mask)[0]
+                if not len(idx):
+                    continue
+                s = V[idx] @ self.Q[qi]
+                order = np.lexsort((vids[idx], -s))[: self.k]
+                pick = idx[order]
+                out_q.extend([self.qids[qi]] * len(pick))
+                out_v.extend(vids[pick].tolist())
+                out_s.extend(s[order].tolist())
+            return {
+                "query_id": np.asarray(out_q, dtype=np.int64),
+                "neighbor_id": np.asarray(out_v, dtype=np.int64),
+                "cos_sim": np.asarray(out_s, dtype=np.float64),
+            }
+
+    partial = ds.map_batches(
+        ProbedTopK, fn_constructor_kwargs={"ref": side, "k": k},
+        batch_format="numpy", batch_size=2048, concurrency=2,
+    )
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cos_sim", "neighbor_id"], ascending=[False, True]).head(k)
+        return df.assign(cos_sim=df["cos_sim"].round(6))
+
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # events: windowed aggregate / sessionization
 # ---------------------------------------------------------------------------

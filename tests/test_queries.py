@@ -75,3 +75,20 @@ def test_rows_only_queries_shapes(ray_session):
     assert len(sh) == 500 and sh["simhash"].dtype == "int64"
     li = q["lang_id_ngram"](SF_DIR).to_pandas()
     assert set(li["lang_pred"]) <= {"en", "es", "de", "fr", "und"}
+
+
+def test_ivf_ann_recall_vs_exact(ray_session):
+    """IVF-probed top-k must recover a solid share of the exact top-k
+    (approximate by construction; this bounds the approximation)."""
+    from ocr_corrector_ray.pipelines.analytics import ann_topk, ivf_ann_topk
+
+    exact = ann_topk(SF_DIR).to_pandas()
+    approx = ivf_ann_topk(SF_DIR).to_pandas()
+    assert set(approx.columns) == {"query_id", "neighbor_id", "cos_sim"}
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, recall  # random 64-dim vectors; 4/16 lists probed
+    # every reported neighbour's score matches the exact computation
+    merged = approx.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_a", "_e"))
+    assert (merged["cos_sim_a"] == merged["cos_sim_e"]).all()
