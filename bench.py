@@ -69,8 +69,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import __ray_entry__ as entrymod
     from ocr_corrector_ray import datagen
 
-    # corpus generation is one-time, cached on disk — warm it before timing
-    datagen.corpus_path(datagen.num_docs_for_sf_dir(sf_dir))
+    # corpus generation is one-time, cached on disk — warm it (and the OS
+    # page cache for both inputs) before timing, so the numbers measure
+    # compute + shuffle rather than first-touch disk reads
+    import pyarrow.dataset as pads
+
+    corpus = datagen.corpus_path(datagen.num_docs_for_sf_dir(sf_dir))
+    pads.dataset(corpus).to_table()
+    for name in ("documents", "embeddings", "events", "lineitem"):
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            pads.dataset(p).to_table()
 
     queries = entrymod.queries()
     # scaling mode: time the steady state (best of N in-process runs) so
