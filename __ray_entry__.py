@@ -121,6 +121,12 @@ def _training_instances(sf_dir: str):
     return training_instances(pairs, probs)
 
 
+def _approx_distinct_tokens(sf_dir: str):
+    from ocr_corrector_ray.pipelines.sketches import approx_distinct_tokens
+
+    return approx_distinct_tokens(sf_dir)
+
+
 def _media_features(sf_dir: str):
     import ray.data
 
@@ -185,9 +191,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_signatures": dedup.simhash_signatures,
         "embedding_neardup": dedup.embedding_neardup,
-        # text analysis (rows-only)
+        # text analysis + sketches (rows-only)
         "lang_id_ngram": textstats.lang_id_ngram,
         "winnowing_fingerprints": textstats.winnowing_fingerprints,
+        "approx_distinct_tokens": _approx_distinct_tokens,
     }
 
 

@@ -92,3 +92,25 @@ def test_ivf_ann_recall_vs_exact(ray_session):
     # every reported neighbour's score matches the exact computation
     merged = approx.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_a", "_e"))
     assert (merged["cos_sim_a"] == merged["cos_sim_e"]).all()
+
+
+def test_hll_sketch_accuracy(ray_session):
+    """HLL estimate within ~3 standard errors of the exact distinct count
+    (sigma ~= 1.04/sqrt(2^12) ~= 1.6%), and register merge == union."""
+    import duckdb
+
+    from ocr_corrector_ray.pipelines.sketches import HyperLogLog, _hash_items, approx_distinct_tokens
+
+    est = approx_distinct_tokens(SF_DIR).take_all()[0]["n_distinct_tokens_approx"]
+    exact = duckdb.sql(
+        f"SELECT count(DISTINCT tok) FROM (SELECT unnest(regexp_split_to_array(trim(text),'\\s+')) tok "
+        f"FROM read_parquet('{SF_DIR}/documents.parquet') WHERE trim(text) != '')"
+    ).fetchone()[0]
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+    a, b = HyperLogLog(), HyperLogLog()
+    a.add_hashes(_hash_items([f"x{i}" for i in range(500)]))
+    b.add_hashes(_hash_items([f"x{i}" for i in range(250, 750)]))
+    u = HyperLogLog()
+    u.add_hashes(_hash_items([f"x{i}" for i in range(750)]))
+    assert (a.merge(b).registers == u.registers).all()
