@@ -71,10 +71,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     # corpus generation is one-time, cached on disk — warm it (and the OS
     # page cache for both inputs) before timing, so the numbers measure
-    # compute + shuffle rather than first-touch disk reads
+    # compute + shuffle rather than first-touch disk reads.  Resolve the
+    # corpus the same way the queries do (honors GRAFT_BENCH_DOCS).
     import pyarrow.dataset as pads
 
-    corpus = datagen.corpus_path(datagen.num_docs_for_sf_dir(sf_dir))
+    corpus = entrymod._corpus_for(sf_dir)
     pads.dataset(corpus).to_table()
     for name in ("documents", "embeddings", "events", "lineitem"):
         p = os.path.join(sf_dir, f"{name}.parquet")

@@ -51,13 +51,20 @@ class LikelihoodDetector:
         return probs[np.arange(len(ids)), ids]
 
     def suspicious_positions(
-        self, text: str, quantile: float = 0.2, max_flags: int = 3
+        self, text: str, quantile: float = 0.2, max_flags: int = 3,
+        rel_threshold: float = 0.9,
     ) -> List[int]:
+        """Positions whose likelihood is BOTH below ``rel_threshold`` x the
+        span's median likelihood and in the bottom ``quantile`` — capped at
+        ``max_flags`` (so the corrector's masked branch applies).  A span
+        whose likelihood profile is flat yields NO flags (clean spans pass
+        through, unlike an unconditional bottom-k)."""
         if not text:
             return []
         lik = self.char_likelihoods(text)
+        median = float(np.median(lik))
         k = min(max_flags, max(1, int(round(len(text) * quantile))))
-        # k lowest-likelihood positions (ties broken by position for
-        # determinism), reported in ascending position order
+        # lowest-likelihood positions (ties broken by position for
+        # determinism), filtered by the relative threshold
         order = np.lexsort((np.arange(len(lik)), lik))[:k]
-        return sorted(int(i) for i in order)
+        return sorted(int(i) for i in order if lik[i] < rel_threshold * median)

@@ -233,18 +233,24 @@ def ivf_ann_topk(
     ``n_probe`` nearest lists, so the per-batch work drops from O(all
     vectors) to O(probed share).  Approximate by construction (recall < 1
     is the contract; ``ann_topk`` is the exact baseline)."""
+    import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
     path = _p(sf_dir, "embeddings")
-    table = pq.read_table(path, columns=["vec_id", "embedding"])
-    V_all = np.stack([np.asarray(v, dtype=np.float64) for v in table.column("embedding").to_pylist()])
-    V_all = V_all / np.linalg.norm(V_all, axis=1, keepdims=True)
-    ids_all = np.asarray(table.column("vec_id").to_pylist(), dtype=np.int64)
+    # driver touches only the query vectors (pushed-down filter) and a
+    # bounded head sample for centroid training — never the full table
+    # (at corpus scale centroid training is its own small job)
+    qt = pq.read_table(path, columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", n_queries)])
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in qt.column("embedding").to_pylist()])
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = np.asarray(qt.column("vec_id").to_pylist(), dtype=np.int64)
 
-    # centroid training: seeded sample + 3 Lloyd iterations (driver-side on
-    # a SAMPLE — at corpus scale this is a separate small job)
+    st = pads.dataset(path).head(64 * n_lists, columns=["embedding"])
+    sample = np.stack([np.asarray(v, dtype=np.float64) for v in st.column("embedding").to_pylist()])
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    n_lists = min(n_lists, len(sample))  # degenerate tiny-table guard
     rng = np.random.RandomState(seed)
-    sample = V_all[rng.choice(len(V_all), size=min(len(V_all), 64 * n_lists), replace=False)]
     C = sample[rng.choice(len(sample), size=n_lists, replace=False)].copy()
     for _ in range(3):
         assign = (sample @ C.T).argmax(axis=1)
@@ -253,10 +259,7 @@ def ivf_ann_topk(
             if len(members):
                 c = members.mean(axis=0)
                 C[j] = c / np.linalg.norm(c)
-
-    qmask = ids_all < n_queries
-    Q, qids = V_all[qmask], ids_all[qmask]
-    probe_lists = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]  # (q, n_probe)
+    probe_lists = np.argsort(-(Q @ C.T), axis=1)[:, : min(n_probe, n_lists)]  # (q, n_probe)
     side = ray.put((C, Q, qids, probe_lists))
 
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])

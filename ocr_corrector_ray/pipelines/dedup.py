@@ -59,14 +59,7 @@ def _shingles(text: str, n: int = 3) -> List[str]:
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 
-def _hash64(values: List[str]) -> np.ndarray:
-    return np.asarray(
-        [
-            int.from_bytes(hashlib.blake2b(v.encode("utf-8"), digest_size=8).digest(), "big")
-            for v in values
-        ],
-        dtype=np.uint64,
-    )
+from ..functions.hashing import hash64_array as _hash64  # shared idiom
 
 
 def minhash_signatures(sf_dir: str, num_perm: int = 64, shingle_n: int = 3):

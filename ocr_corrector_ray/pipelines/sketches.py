@@ -64,14 +64,7 @@ class HyperLogLog:
         return cls(p, np.frombuffer(payload, dtype=np.uint8).copy())
 
 
-def _hash_items(items) -> np.ndarray:
-    return np.asarray(
-        [
-            int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
-            for s in items
-        ],
-        dtype=np.uint64,
-    )
+from ..functions.hashing import hash64_array as _hash_items  # shared idiom
 
 
 def approx_distinct_tokens(sf_dir: str, p: int = 12):

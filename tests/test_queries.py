@@ -22,6 +22,8 @@ SQL_SAMPLE = [
     "top_customers",
     "order_revenue",
     "purchase_prior_click",
+    "part_type_stats",
+    "top_user_per_event_type",
 ]
 
 
