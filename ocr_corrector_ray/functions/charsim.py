@@ -193,7 +193,9 @@ class CharMeta:
             return 0.0
         shape_sim = self.shape_similarity(char1, char2)
         sound_sim = self.pronunciation_similarity(char1, char2)
-        freq_sim = 1.0  # char_dict frequencies are all zero in the reference
+        # reference computes 1.0 - |f1 - f2| / max_freq with all char_dict
+        # frequencies initialised to 0, which evaluates to 1.0 exactly
+        freq_sim = 1.0
         return shape_sim * shape_w + sound_sim * sound_w + freq_sim * freq_w
 
     # -- pronunciation ----------------------------------------------------
@@ -219,7 +221,12 @@ class CharMeta:
         return sim_total / count if count else 0.0
 
     def pronunciation_distance(self, char1: str, char2: str) -> float:
-        """char_sim.py:172-205 (same language zip + 'null' quirk)."""
+        """char_sim.py:172-205 (same language zip + 'null' quirk).
+
+        Raises ``ZeroDivisionError`` when no language pair is comparable,
+        mirroring the reference's uncontained division — returning 0.0
+        here would report the pair as maximally CLOSE, the wrong-direction
+        default for anyone enabling sound-weighted distances."""
         p1 = self.data[char1]["pronunciation"]
         p2 = self.data[char2]["pronunciation"]
         if p1[0] == "null" or p2 == "null":
@@ -236,7 +243,7 @@ class CharMeta:
                         best = d
             dist_total += best
             count += 1
-        return dist_total / count if count else 0.0
+        return dist_total / count
 
 
 def string_to_tree(string: str) -> str:

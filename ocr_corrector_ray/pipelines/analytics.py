@@ -373,19 +373,37 @@ def events_sliding(sf_dir: str, window_min: int = 60, slide_min: int = 15):
     )
 
 
-def sessionize(sf_dir: str, gap_minutes: int = 30):
-    """Per-user session count with a 30-min inactivity gap — the
-    stream-shaped workload expressed as groupby(user).map_groups over
-    ts-sorted events."""
+def sessionize(sf_dir: str, gap_minutes: int = 30, num_buckets: int | None = None):
+    """Per-user session count with a 30-min inactivity gap.
+
+    COARSE-bucketed (the ``_agg`` pattern): users are hashed into
+    ``num_buckets`` partitions and each bucket computes ALL its users'
+    session counts with one vectorized pandas ``groupby(user).diff()`` —
+    a per-user ``map_groups`` would pay ~0.2 ms of Python per user
+    (measured, ``_agg.py``), the dominant cost at corpus user counts."""
+    from ._util import default_num_buckets
+
+    num_buckets = num_buckets or default_num_buckets()
     ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        ts = df["ts"].sort_values()
-        n_sessions = int(1 + (ts.diff() > gap).sum()) if len(ts) else 0
-        return pd.DataFrame({"user_id": [df["user_id"].iloc[0]], "n_sessions": [n_sessions]})
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=(df["user_id"] % num_buckets).astype("int32"))
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"])
+        # a session starts at a user's first event or after a > gap lull;
+        # diff() is NaT at each user's first row, so counting starts is
+        # one vectorized pass over the whole bucket
+        starts = df.groupby("user_id")["ts"].diff().pipe(lambda d: d.isna() | (d > gap))
+        out = starts.groupby(df["user_id"]).sum().astype("int64")
+        return pd.DataFrame({"user_id": out.index.to_numpy(), "n_sessions": out.to_numpy()})
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket", num_partitions=num_buckets)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -430,13 +448,17 @@ def pricing_summary(sf_dir: str):
     return agg.map_batches(derive_final, batch_format="pandas")
 
 
-def order_revenue(sf_dir: str, num_buckets: int = 16):
+def order_revenue(sf_dir: str, num_buckets: int | None = None):
     """Per-orderpriority revenue: orders ⋈ lineitem where BOTH sides are
     large — an explicit partitioned hash join: both sides get a
     ``bucket = orderkey % B`` column, the bucket groupby co-locates
     matching keys, the per-bucket pandas merge joins them, and a partial
     aggregate inside the bucket (the combiner) shrinks the final shuffle
-    to B rows per priority."""
+    to B rows per priority.  B scales with the cluster (a literal bucket
+    count sized for a laptop starves a 256-node exchange)."""
+    from ._util import default_num_buckets
+
+    num_buckets = num_buckets or default_num_buckets()
     orders = ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"])
     items = ray.data.read_parquet(
         _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
@@ -494,11 +516,15 @@ def order_revenue(sf_dir: str, num_buckets: int = 16):
     )
 
 
-def purchase_prior_click(sf_dir: str, num_buckets: int = 8):
+def purchase_prior_click(sf_dir: str, num_buckets: int | None = None):
     """As-of join: for every purchase event, the user's most recent
     STRICTLY-earlier click.  Both event streams are bucketed on user_id,
     the bucket groupby co-locates a user's events, and ``pd.merge_asof``
-    (ts-sorted, by=user_id, strict) does the as-of matching per bucket."""
+    (ts-sorted, by=user_id, strict) does the as-of matching per bucket.
+    Bucket count scales with the cluster (see order_revenue)."""
+    from ._util import default_num_buckets
+
+    num_buckets = num_buckets or default_num_buckets()
     ds = ray.data.read_parquet(
         _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
     )

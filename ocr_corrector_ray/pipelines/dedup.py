@@ -8,10 +8,13 @@
 
 All stages are map_batches-vectorized where the math allows (numpy minhash
 over all shingles of a doc at once); the only shuffles are the bucket
-groupbys, whose keys are small fixed-size hashes.  Candidate verification
-re-reads the two texts from a broadcast store at test scale — at corpus
-scale this becomes a hash-partitioned join on doc_id; the partitioning
-assumption is documented on each function.
+groupbys (LSH buckets for candidate generation, ``id % P`` buckets for
+verification).  Candidate verification is a two-pass HASH-PARTITIONED
+LOOKUP JOIN (``_bucketed_attach``): the candidate pairs and the pruned
+source column are co-bucketed on the id, each bucket resolves its lookups
+with one in-memory dict, and the attached payload rides the second
+exchange — no driver-side materialization of the corpus, no whole-table
+broadcast, bounded per-bucket memory (|table|/P rows).
 """
 
 from __future__ import annotations
@@ -33,15 +36,67 @@ def _p(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def _dedup_pairs(pairs_ds):
-    """Distinct (a, b) rows of a SMALL verified-pair Dataset (first
-    occurrence wins; duplicates carry identical scores by construction)."""
+def _bucketed_attach(
+    pairs_ds,
+    src_ds,
+    key_col: str,
+    src_key: str,
+    src_val: str,
+    out_col: str,
+    num_buckets: int,
+    pair_fill: dict,
+    dedup_cols=None,
+):
+    """Hash-partitioned lookup join: for each pairs row, attach the
+    ``src_val`` of the ``src_ds`` row whose ``src_key`` equals
+    ``pairs[key_col]`` as a new ``out_col`` column.
 
-    def first(df: pd.DataFrame) -> pd.DataFrame:
-        return df.head(1)
+    Both streams are tagged with ``bucket = key % num_buckets`` and
+    unioned; the bucket groupby co-locates every lookup with the source
+    rows that can satisfy it, and each bucket resolves with one dict —
+    the ``analytics.order_revenue`` pattern applied to point lookups.
+    Per-bucket memory is |src|/num_buckets values, independent of total
+    corpus size.  ``pair_fill`` maps each pairs-side payload column to a
+    type-correct filler for the source-side rows (keeps int64 columns
+    int64 through the union).  ``dedup_cols``: drop duplicate pair rows
+    per bucket BEFORE the lookup — complete when ``key_col`` is in
+    ``dedup_cols`` (all copies of a pair share its bucket), and it
+    happens before any payload bytes cross the next exchange."""
+    pair_cols = list(pair_fill)
 
-    return pairs_ds.groupby(["a", "b"], num_partitions=4).map_groups(
-        first, batch_format="pandas"
+    def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[pair_cols].copy()
+        out[out_col] = None
+        out["__side"] = "p"
+        key = df[key_col].astype("int64")
+        out["__key"] = key
+        out["__bkt"] = (key % num_buckets).astype("int32")
+        return out
+
+    def tag_src(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({c: pd.Series([v] * len(df)) for c, v in pair_fill.items()})
+        out[out_col] = df[src_val].values
+        out["__side"] = "d"
+        key = df[src_key].astype("int64")
+        out["__key"] = key.values
+        out["__bkt"] = (key % num_buckets).astype("int32").values
+        return out
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["__side"] == "d"]
+        p = df[df["__side"] == "p"]
+        if dedup_cols:
+            p = p.drop_duplicates(dedup_cols)
+        lut = dict(zip(d["__key"].tolist(), d[out_col].tolist()))
+        p = p.drop(columns=[out_col]).copy()
+        p[out_col] = p["__key"].map(lut)
+        return p.drop(columns=["__side", "__key", "__bkt"])
+
+    both = pairs_ds.map_batches(tag_pairs, batch_format="pandas").union(
+        src_ds.map_batches(tag_src, batch_format="pandas")
+    )
+    return both.groupby("__bkt", num_partitions=num_buckets).map_groups(
+        join_bucket, batch_format="pandas"
     )
 
 
@@ -76,7 +131,12 @@ def minhash_signatures(sf_dir: str, num_perm: int = 64, shingle_n: int = 3):
                 sigs.append(np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64).tolist())
                 continue
             x = _hash64(sh)  # (s,)
-            # (p, s) affine permutation over the Mersenne prime, min per row
+            # (p, s) affine permutation over the Mersenne prime, min per
+            # row.  INTENTIONAL: a*x is computed in uint64 and wraps mod
+            # 2^64 before the Mersenne reduction — same behavior as
+            # datasketch's MinHash, chosen for the vectorized numpy path;
+            # the theoretical universal-hash guarantee is slightly
+            # weakened but Jaccard estimates remain serviceable
             vals = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(_MERSENNE)
             sigs.append(vals.min(axis=1).astype(np.int64).tolist())
         return pd.DataFrame({"doc_id": df["doc_id"], "sig": sigs})
@@ -113,11 +173,16 @@ def minhash_neardup_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    num_buckets: int | None = None,
 ):
     """Candidate pairs from LSH buckets, verified with exact token-shingle
-    Jaccard >= threshold.  Verification uses a broadcast doc_id->text dict
-    (fine at test scale; at corpus scale replace with a hash-partitioned
-    join of candidates against the documents table on doc_id)."""
+    Jaccard >= threshold.  Verification is a two-pass hash-partitioned
+    join of the candidate pairs against the pruned documents table on
+    doc_id (``_bucketed_attach``) — the driver never reads the corpus,
+    and each verify bucket holds |docs|/P texts."""
+    from ._util import default_num_buckets
+
+    num_buckets = num_buckets or default_num_buckets()
     band_rows = minhash_band_rows(sf_dir, num_perm, bands, shingle_n)
 
     def partition_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -146,72 +211,73 @@ def minhash_neardup_pairs(
                              "b": pd.Series(b_out, dtype="int64")})
 
     def add_ppid(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(ppid=(df["band_hash"] % 8).astype("int32"))
+        return df.assign(ppid=(df["band_hash"] % num_buckets).astype("int32"))
 
     cands = (
         band_rows.map_batches(add_ppid, batch_format="pandas")
-        .groupby("ppid", num_partitions=8)
+        .groupby("ppid", num_partitions=num_buckets)
         .map_groups(lambda df: partition_pairs(df), batch_format="pandas")
     )
-    # NOTE: a pair surfaced by several bands is verified several times —
-    # verification is idempotent and cheap, so dedup happens AFTER the
-    # threshold filter on the (small) surviving set; deduping the full
-    # candidate stream first costs a per-key aggregate over a much larger
-    # key space (measured ~0.2 ms/key in Ray's grouped aggregate)
+    # a pair surfaced by several bands is deduped inside its first verify
+    # bucket (all copies of (a, b) share bucket a % P), BEFORE any text
+    # payload is attached — so duplicate candidates never ship bytes.
+    docs = lambda: ray.data.read_parquet(  # noqa: E731 — two pruned passes
+        _p(sf_dir, "documents"), columns=["doc_id", "text"]
+    )
+    with_a = _bucketed_attach(
+        cands, docs(), key_col="a", src_key="doc_id", src_val="text",
+        out_col="text_a", num_buckets=num_buckets,
+        pair_fill={"a": -1, "b": -1}, dedup_cols=["a", "b"],
+    )
+    with_both = _bucketed_attach(
+        with_a, docs(), key_col="b", src_key="doc_id", src_val="text",
+        out_col="text_b", num_buckets=num_buckets,
+        pair_fill={"a": -1, "b": -1, "text_a": None},
+    )
 
-    import pyarrow.parquet as pq
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        keep_a, keep_b, jac = [], [], []
+        sets: dict = {}  # per-batch shingle-set memo (ids repeat across pairs)
 
-    t = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    texts_ref = ray.put(dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())))
-
-    class Verify:
-        def __init__(self, ref, n: int, thr: float):
-            self.texts = ray.get(ref)
-            self.n = n
-            self.thr = thr
-            self._sets: dict = {}  # doc_id -> shingle set, built once per actor
-
-        def _set(self, doc_id):
-            s = self._sets.get(doc_id)
+        def sset(doc_id, text):
+            s = sets.get(doc_id)
             if s is None:
-                s = frozenset(_shingles(self.texts.get(doc_id, "") or "", self.n))
-                self._sets[doc_id] = s
+                s = frozenset(_shingles(text or "", shingle_n))
+                sets[doc_id] = s
             return s
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            df = df.drop_duplicates(["a", "b"])  # cheap in-batch dedup
-            keep_a, keep_b, jac = [], [], []
-            for a_id, b_id in zip(df["a"], df["b"]):
-                sa = self._set(a_id)
-                sb = self._set(b_id)
-                if not sa or not sb:
-                    continue
-                j = len(sa & sb) / len(sa | sb)
-                if j >= self.thr:
-                    keep_a.append(a_id)
-                    keep_b.append(b_id)
-                    jac.append(round(j, 4))
-            return pd.DataFrame({"a": pd.Series(keep_a, dtype="int64"),
-                                 "b": pd.Series(keep_b, dtype="int64"),
-                                 "jaccard": pd.Series(jac, dtype="float64")})
+        for a_id, b_id, ta, tb in zip(df["a"], df["b"], df["text_a"], df["text_b"]):
+            sa = sset(a_id, ta)
+            sb = sset(b_id, tb)
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                keep_a.append(a_id)
+                keep_b.append(b_id)
+                jac.append(round(j, 4))
+        return pd.DataFrame({"a": pd.Series(keep_a, dtype="int64"),
+                             "b": pd.Series(keep_b, dtype="int64"),
+                             "jaccard": pd.Series(jac, dtype="float64")})
 
-    verified = cands.map_batches(
-        Verify, fn_constructor_kwargs={"ref": texts_ref, "n": shingle_n, "thr": threshold},
-        batch_format="pandas", concurrency=2,
-    )
-    return _dedup_pairs(verified)
+    return with_both.map_batches(verify, batch_format="pandas")
 
 
 def ngram_jaccard_pairs(sf_dir: str, ids_a=(0, 1, 2, 3, 4), shingle_n: int = 3):
     """Exact token-n-gram Jaccard of a fixed probe set against the whole
-    table (the verification kernel exposed as its own operator)."""
+    table (the verification kernel exposed as its own operator).  The
+    probe read is pushed down (``filters=``) so the driver touches only
+    the probe rows, never the full table."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    t = pq.read_table(
+        _p(sf_dir, "documents"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "in", list(ids_a))],
+    )
     probe = {
         d: set(_shingles(x or "", shingle_n))
         for d, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
-        if d in set(ids_a)
     }
     probe_ref = ray.put(probe)
     ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -334,40 +400,54 @@ def embedding_neardup(
         return pd.DataFrame({"a": pd.Series(a_out, dtype="int64"),
                              "b": pd.Series(b_out, dtype="int64")})
 
-    cands = bucketed.groupby(["table_id", "bucket"], num_partitions=8).map_groups(
+    from ._util import default_num_buckets
+
+    num_buckets = default_num_buckets()
+    cands = bucketed.groupby(["table_id", "bucket"], num_partitions=num_buckets).map_groups(
         bucket_pairs, batch_format="pandas"
     )
-    # verify-then-dedup: see minhash_neardup_pairs for the rationale
 
-    import pyarrow.parquet as pq
+    # verification: two-pass hash-partitioned join against the pruned
+    # embeddings table (see _bucketed_attach) — pairs from different LSH
+    # tables dedup in their first verify bucket before vectors attach.
+    # Vectors ride the exchange as fixed-size float64 bytes (a clean
+    # Arrow binary column; an object column mixing ndarrays and the
+    # pairs-side None placeholder trips Ray's tensor-extension cast).
+    def embs():
+        ds = ray.data.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
 
-    t = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    V = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
-    V = V / np.linalg.norm(V, axis=1, keepdims=True)
-    vec_ref = ray.put(dict(zip(t.column("vec_id").to_pylist(), V)))
+        def pack(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "vec_id": df["vec_id"],
+                "emb_bytes": [np.asarray(v, dtype=np.float64).tobytes() for v in df["embedding"]],
+            })
 
-    class Verify:
-        def __init__(self, ref, thr):
-            self.vecs = ray.get(ref)
-            self.thr = thr
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            keep_a, keep_b, cos = [], [], []
-            for a_id, b_id in zip(df["a"], df["b"]):
-                va, vb = self.vecs.get(a_id), self.vecs.get(b_id)
-                if va is None or vb is None:
-                    continue
-                c = float(va @ vb)
-                if c >= self.thr:
-                    keep_a.append(a_id)
-                    keep_b.append(b_id)
-                    cos.append(round(c, 6))
-            return pd.DataFrame({"a": pd.Series(keep_a, dtype="int64"),
-                                 "b": pd.Series(keep_b, dtype="int64"),
-                                 "cos_sim": pd.Series(cos, dtype="float64")})
-
-    verified = cands.map_batches(
-        Verify, fn_constructor_kwargs={"ref": vec_ref, "thr": threshold},
-        batch_format="pandas", concurrency=2,
+        return ds.map_batches(pack, batch_format="pandas")
+    with_a = _bucketed_attach(
+        cands, embs(), key_col="a", src_key="vec_id", src_val="emb_bytes",
+        out_col="emb_a", num_buckets=num_buckets,
+        pair_fill={"a": -1, "b": -1}, dedup_cols=["a", "b"],
     )
-    return _dedup_pairs(verified)
+    with_both = _bucketed_attach(
+        with_a, embs(), key_col="b", src_key="vec_id", src_val="emb_bytes",
+        out_col="emb_b", num_buckets=num_buckets,
+        pair_fill={"a": -1, "b": -1, "emb_a": None},
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["emb_a"].notna() & df["emb_b"].notna()]
+        if not len(df):
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "cos_sim": pd.Series(dtype="float64")})
+        A = np.stack([np.frombuffer(v, dtype=np.float64) for v in df["emb_a"]])
+        B = np.stack([np.frombuffer(v, dtype=np.float64) for v in df["emb_b"]])
+        A = A / np.linalg.norm(A, axis=1, keepdims=True)
+        B = B / np.linalg.norm(B, axis=1, keepdims=True)
+        c = (A * B).sum(axis=1)
+        keep = c >= threshold
+        return pd.DataFrame({"a": df["a"][keep].astype("int64").values,
+                             "b": df["b"][keep].astype("int64").values,
+                             "cos_sim": np.round(c[keep], 6)})
+
+    return with_both.map_batches(verify, batch_format="pandas")

@@ -1,0 +1,50 @@
+"""Scale-path regression for the near-dup family (VERDICT r1 item 1).
+
+The broadcast-dict verification was replaced with a two-pass
+hash-partitioned lookup join (``dedup._bucketed_attach``); these tests pin
+that the join path produces the IDENTICAL pair output the broadcast path
+produced (goldens captured from the round-1 implementation at sf0.001),
+and that no driver-side whole-table materialization crept back in.
+"""
+
+import inspect
+import json
+import os
+
+SF_DIR = "/root/testdata/sf0.001"
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "neardup_sf0001.json")
+
+
+def _golden():
+    with open(GOLDEN) as f:
+        return json.load(f)
+
+
+def test_minhash_neardup_matches_broadcast_golden(ray_session):
+    from ocr_corrector_ray.pipelines import dedup
+
+    mh = dedup.minhash_neardup_pairs(SF_DIR).to_pandas()
+    got = sorted([int(a), int(b), float(j)] for a, b, j in zip(mh["a"], mh["b"], mh["jaccard"]))
+    assert got == _golden()["minhash"]
+
+
+def test_embedding_neardup_matches_broadcast_golden(ray_session):
+    from ocr_corrector_ray.pipelines import dedup
+
+    em = dedup.embedding_neardup(SF_DIR).to_pandas()
+    got = sorted([int(a), int(b), float(c)] for a, b, c in zip(em["a"], em["b"], em["cos_sim"]))
+    assert got == _golden()["embedding"]
+
+
+def test_no_driver_side_broadcast_left_in_dedup():
+    """Tripwire: the scale-killer pattern (driver pq.read_table of a full
+    table + ray.put of a dict) must not return to the dedup module; the
+    only remaining driver read is the pushed-down probe in
+    ngram_jaccard_pairs."""
+    from ocr_corrector_ray.pipelines import dedup
+
+    src = inspect.getsource(dedup)
+    assert "ray.put(dict(" not in src
+    # every pq.read_table call carries a filters= pushdown
+    for chunk in src.split("pq.read_table(")[1:]:
+        assert "filters=" in chunk[:200], "un-pushed-down driver read in dedup.py"

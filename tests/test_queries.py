@@ -12,19 +12,10 @@ import pytest
 import __ray_entry__ as entrymod
 
 SF_DIR = "/root/testdata/sf0.001"
-SQL_SAMPLE = [
-    "doc_stats",
-    "quality_scores",
-    "dedup_exact",
-    "ann_topk",
-    "sessionize",
-    "pricing_summary",
-    "top_customers",
-    "order_revenue",
-    "purchase_prior_click",
-    "part_type_stats",
-    "top_user_per_event_type",
-]
+# the FULL oracle surface: every SQL-checkable query runs locally at
+# sf0.001, so a regression in any of them is caught before the driver's
+# sf0.01 gate (VERDICT r1 item 8)
+SQL_SAMPLE = sorted(entrymod.oracle_sql().keys())
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
