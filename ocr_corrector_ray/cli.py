@@ -24,11 +24,17 @@ def main(argv=None) -> int:
     ap.add_argument("--input", help="parquet file/dir with the interleaved-doc schema")
     ap.add_argument("--gen-docs", type=int, default=0,
                     help="generate a synthetic corpus of N docs instead of --input")
-    ap.add_argument("--output", required=True, help="output directory (parquet)")
+    ap.add_argument("--output", help="output directory (parquet)")
     ap.add_argument("--mode", choices=["explode", "fused"], default="explode")
     ap.add_argument("--checkpoint", action="store_true",
                     help="resumable run: per-partition fragments + lineage manifest "
-                         "under --output; rerun skips completed partitions")
+                         "under --output; rerun skips completed partitions "
+                         "(whole input files are pruned when the input is a "
+                         "--bucketize-to layout)")
+    ap.add_argument("--bucketize-to", metavar="DIR",
+                    help="re-lay the input out bucketed by hash(doc_id) %% "
+                         "--num-partitions into DIR (enables file-level resume "
+                         "pruning), then exit")
     ap.add_argument("--num-partitions", type=int, default=32)
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 0)) or None)
     ap.add_argument("--concurrency", type=int, default=None)
@@ -38,6 +44,8 @@ def main(argv=None) -> int:
 
     if not args.input and not args.gen_docs:
         ap.error("one of --input or --gen-docs is required")
+    if not args.output and not args.bucketize_to:
+        ap.error("--output is required (unless --bucketize-to)")
 
     import ray
 
@@ -66,6 +74,16 @@ def main(argv=None) -> int:
             src = datagen.corpus_path(args.gen_docs, seed=args.seed)
 
         t0 = time.perf_counter()
+        if args.bucketize_to:
+            from .state.checkpoint import bucketize_input
+
+            bucketize_input(src, args.bucketize_to, args.num_partitions)
+            print(json.dumps({
+                "input": src, "bucketized_to": args.bucketize_to,
+                "num_partitions": args.num_partitions,
+                "wall_s": round(time.perf_counter() - t0, 3),
+            }))
+            return 0
         if args.checkpoint:
             from .state.checkpoint import read_corrected, run_checkpointed
 

@@ -1,29 +1,34 @@
 """Per-partition checkpoint / lineage / resume.
 
-Output layout (the "Lance fragment" layout; parquet is the storage driver
-in this sandbox — ``storage.py`` switches to Lance when the library is
-importable, SURVEY.md §7.0):
+Output layout (fragments go through the ``storage.get_driver()`` seam —
+Lance when importable, parquet in this sandbox, SURVEY.md §7.0):
 
     out_dir/
-      parts/part-<pid>.parquet        # corrected docs of hash partition pid
+      parts/part-<pid>.<ext>          # corrected docs of hash partition pid
       manifest/part-<pid>.json        # lineage row, written AFTER the data
-                                      # file is atomically renamed in place
+                                      # fragment is atomically committed
 
 Crash consistency: a partition is "done" iff its manifest row exists; the
-data file is renamed into place before the manifest is written, so a crash
-between the two steps just recomputes that partition.  Resume is a
-broadcast ANTI-JOIN: the done-pid set (tiny) is shipped to every read
-task, which drops documents whose hash partition is already complete
-(SURVEY.md §2.4).
+data fragment is committed before the manifest is written, so a crash
+between the two steps just recomputes that partition.
 
-Manifest row schema (FIXTURES.md §8): partition_id, input_fingerprint,
-rows_in, spans_corrected, wall_s, status.
+Each manifest row records the run's ``num_partitions``; resuming with a
+DIFFERENT value fails loudly (the done-pid anti-join would compare pids
+hashed under the new modulus against pids completed under the old one and
+silently skip never-written documents).
 
-Scale note: resume still READS every input row before the anti-join drops
-completed partitions (row-level filtering cannot prune parquet files that
-mix partitions).  At corpus scale, lay the INPUT out bucketed by the same
-``hash(doc_id) % P`` so a resume skips whole files; the engine's one-key
-partitioning discipline makes that layout natural.
+Resume has two strengths, chosen by the input layout:
+
+- plain input (arbitrary parquet): broadcast ANTI-JOIN — the done-pid set
+  (tiny) ships to every read task, which drops rows of completed
+  partitions.  Every input row is still read once.
+- bucketed input (``bucketize_input``: one file per ``hash(doc_id) % P``
+  bucket plus a ``_layout.json`` header): resume PRUNES WHOLE FILES — only
+  pending partitions' files enter the read plan, so a 99%-done 100-TB run
+  re-reads 1% of the bytes.
+
+Manifest row schema (FIXTURES.md §8): partition_id, num_partitions,
+input_fingerprint, rows_in, spans_corrected, wall_s, status.
 """
 
 from __future__ import annotations
@@ -35,11 +40,11 @@ import time
 from typing import Optional, Set
 
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 import ray
 
 from ..stages.reassemble import stable_partition_ids
+from .storage import get_driver
 
 
 def _manifest_dir(out_dir: str) -> str:
@@ -50,21 +55,44 @@ def _parts_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "parts")
 
 
-def done_partitions(out_dir: str) -> Set[int]:
+def _manifest_rows(out_dir: str):
     mdir = _manifest_dir(out_dir)
     if not os.path.isdir(mdir):
-        return set()
-    done = set()
-    for name in os.listdir(mdir):
+        return
+    for name in sorted(os.listdir(mdir)):
         if name.startswith("part-") and name.endswith(".json"):
             try:
                 with open(os.path.join(mdir, name)) as f:
-                    row = json.load(f)
-                if row.get("status") == "done":
-                    done.add(int(row["partition_id"]))
-            except (ValueError, OSError, KeyError):
+                    yield json.load(f)
+            except (ValueError, OSError):
                 continue
+
+
+def done_partitions(out_dir: str) -> Set[int]:
+    done = set()
+    for row in _manifest_rows(out_dir):
+        try:
+            if row.get("status") == "done":
+                done.add(int(row["partition_id"]))
+        except (ValueError, KeyError):
+            continue
     return done
+
+
+def check_num_partitions(out_dir: str, num_partitions: int) -> None:
+    """Fail loudly when resuming with a different partition count than the
+    manifest was written under — the done-pid anti-join would otherwise
+    silently drop never-written documents (pids hashed under the new
+    modulus vs pids completed under the old one)."""
+    for row in _manifest_rows(out_dir):
+        prev = row.get("num_partitions")
+        if prev is not None and int(prev) != num_partitions:
+            raise ValueError(
+                f"checkpoint at {out_dir} was written with "
+                f"num_partitions={prev}; resuming with {num_partitions} "
+                "would skip never-written partitions — rerun with the "
+                "original value or start a fresh out_dir"
+            )
 
 
 def read_manifest(out_dir: str) -> pa.Table:
@@ -80,6 +108,7 @@ def read_manifest(out_dir: str) -> pa.Table:
 
 def filter_pending(ds, out_dir: str, num_partitions: int):
     """Broadcast anti-join: drop docs whose partition already completed."""
+    check_num_partitions(out_dir, num_partitions)
     done = done_partitions(out_dir)
     if not done:
         return ds
@@ -99,6 +128,7 @@ def filter_pending(ds, out_dir: str, num_partitions: int):
 MANIFEST_SCHEMA = pa.schema(
     [
         ("partition_id", pa.int32()),
+        ("num_partitions", pa.int32()),
         ("input_fingerprint", pa.string()),
         ("rows_in", pa.int64()),
         ("spans_corrected", pa.int64()),
@@ -123,10 +153,9 @@ def write_partition(batch: pa.Table, out_dir: str, num_partitions: int) -> pa.Ta
     doc_ids = batch.column("doc_id").to_pylist()
     pid = int(stable_partition_ids(doc_ids[:1], num_partitions)[0])
 
-    data_path = os.path.join(_parts_dir(out_dir), f"part-{pid:05d}.parquet")
-    tmp = data_path + f".tmp.{os.getpid()}"
-    pq.write_table(batch, tmp)
-    os.replace(tmp, data_path)  # atomic: data visible before manifest
+    driver = get_driver()
+    data_path = os.path.join(_parts_dir(out_dir), f"part-{pid:05d}.{driver.extension}")
+    driver.write_fragment(batch, data_path)  # atomic: data visible before manifest
 
     # guard against a mis-sized pipeline splitting one hash partition
     # across two blocks (two writers for one pid would silently clobber
@@ -145,6 +174,7 @@ def write_partition(batch: pa.Table, out_dir: str, num_partitions: int) -> pa.Ta
     spans_total = sum(len(s) for s in batch.column("spans").to_pylist())
     row = {
         "partition_id": pid,
+        "num_partitions": num_partitions,
         "input_fingerprint": fp,
         "rows_in": len(doc_ids),
         "spans_corrected": spans_total,
@@ -158,6 +188,76 @@ def write_partition(batch: pa.Table, out_dir: str, num_partitions: int) -> pa.Ta
     return pa.Table.from_pylist([row], schema=MANIFEST_SCHEMA)
 
 
+LAYOUT_FILE = "_layout.json"
+
+
+def bucketize_input(source: str, bucket_dir: str, num_partitions: int):
+    """Re-lay the input corpus out bucketed by ``hash(doc_id) % P`` — one
+    fragment per bucket plus a ``_layout.json`` header — so a resumed run
+    can prune WHOLE FILES from the read plan instead of row-filtering
+    every input block (VERDICT r1 item 5).  One hash shuffle, streaming;
+    at corpus scale this is the write layout of whatever job produced the
+    input, not an extra pass."""
+    import ray.data
+
+    from ..pipelines.correct import enable_hash_shuffle
+
+    enable_hash_shuffle()
+    ds = ray.data.read_parquet(source)
+    driver = get_driver()
+    os.makedirs(bucket_dir, exist_ok=True)
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        pids = stable_partition_ids(batch.column("doc_id").to_pylist(), num_partitions)
+        return batch.append_column("__pid", pa.array(pids, pa.int32()))
+
+    def write_bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"partition_id": pa.array([], pa.int32())})
+        pid = int(batch.column("__pid")[0].as_py())
+        out = batch.drop_columns(["__pid"])
+        driver.write_fragment(
+            out, os.path.join(bucket_dir, f"bucket-{pid:05d}.{driver.extension}")
+        )
+        return pa.table({"partition_id": pa.array([pid], pa.int32())})
+
+    (
+        ds.map_batches(add_pid, batch_format="pyarrow")
+        .groupby("__pid", num_partitions=num_partitions)
+        .map_groups(write_bucket, batch_format="pyarrow")
+        .materialize()  # drives the write; result is one tiny row per bucket
+    )
+    header = {"num_partitions": num_partitions, "key": "hash(doc_id)",
+              "format": driver.extension}
+    with open(os.path.join(bucket_dir, LAYOUT_FILE), "w") as f:
+        json.dump(header, f)
+    return bucket_dir
+
+
+def read_layout(source: str) -> Optional[dict]:
+    """The bucketed-layout header, or None for a plain input."""
+    p = os.path.join(source, LAYOUT_FILE)
+    if os.path.isdir(source) and os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
+
+
+def pending_input_files(source: str, out_dir: str, layout: dict) -> list:
+    """The bucket files whose partition has NOT completed — the pruned
+    read plan for a resume over a bucketized input."""
+    done = done_partitions(out_dir)
+    ext = layout.get("format", "parquet")
+    pending = []
+    for name in sorted(os.listdir(source)):
+        if not (name.startswith("bucket-") and name.endswith(f".{ext}")):
+            continue
+        pid = int(name[len("bucket-"):].split(".")[0])
+        if pid not in done:
+            pending.append(os.path.join(source, name))
+    return pending
+
+
 def run_checkpointed(
     source: str,
     out_dir: str,
@@ -165,8 +265,10 @@ def run_checkpointed(
     cfg=None,
     concurrency: Optional[int] = None,
 ):
-    """Resumable flagship run: anti-join completed partitions, correct the
-    rest, write fragments + lineage.  Returns the manifest table."""
+    """Resumable flagship run: skip completed partitions (pruning whole
+    input files when the source is a ``bucketize_input`` layout, else a
+    row-level broadcast anti-join), correct the rest, write fragments +
+    lineage.  Returns the manifest table."""
     import ray.data
 
     from ..pipelines.correct import corrected_dataset, enable_hash_shuffle
@@ -174,8 +276,24 @@ def run_checkpointed(
     import functools
 
     enable_hash_shuffle()  # before the read: datasets snapshot the context
-    ds = ray.data.read_parquet(source)
-    ds = filter_pending(ds, out_dir, num_partitions)
+    layout = read_layout(source)
+    if layout is not None:
+        if int(layout["num_partitions"]) != num_partitions:
+            raise ValueError(
+                f"bucketed input at {source} is laid out with "
+                f"num_partitions={layout['num_partitions']}; the checkpoint "
+                f"run must use the same value (got {num_partitions})"
+            )
+        check_num_partitions(out_dir, num_partitions)
+        files = pending_input_files(source, out_dir, layout)
+        if not files:
+            return read_manifest(out_dir)
+        # file-level pruning: completed partitions never enter the read
+        # plan — no row of theirs is read, moved, or filtered
+        ds = get_driver().read_files(files)
+    else:
+        ds = ray.data.read_parquet(source)
+        ds = filter_pending(ds, out_dir, num_partitions)
     # the writer runs INSIDE the reassembly group call, so each hash
     # partition is written exactly once, whole, with its manifest row
     manifest_ds = corrected_dataset(
@@ -192,7 +310,6 @@ def run_checkpointed(
 
 
 def read_corrected(out_dir: str):
-    """Read the corrected-doc table back as a Dataset."""
-    import ray.data
-
-    return ray.data.read_parquet(_parts_dir(out_dir))
+    """Read the corrected-doc table back as a Dataset (via the storage
+    driver seam)."""
+    return get_driver().read_dir(_parts_dir(out_dir))
