@@ -155,8 +155,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         # flagship correction/extraction pipelines (non-SQL: rows-only check;
-        # exactness is asserted against the serial oracle in tests/)
+        # exactness is asserted against the serial oracle in tests/).
+        # Three conformance-identical physical plans: explode (headline),
+        # fused (no shuffle), hybrid (fused for small docs + explode for
+        # the oversized tail — the 100-TB plan; its fixed costs [second
+        # read, tail shuffle actors] dominate at this test scale, see
+        # BASELINE.md)
         "ocr_correct": _ocr_correct_flat,
+        "ocr_correct_hybrid": lambda sf: _ocr_correct_flat(sf, mode="hybrid"),
         "ocr_correct_fused": lambda sf: _ocr_correct_flat(sf, mode="fused"),
         "ocr_extract": _ocr_extract,
         # SQL-checked general operators

@@ -25,6 +25,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32") or 32)
 # (name, callable-key) benchmarked from the driver-contract query registry
 BENCH_QUERIES = [
     "ocr_correct",          # headline: full extraction+correction, explode plan
+    "ocr_correct_hybrid",   # fused for small docs + explode tail (scale plan)
     "ocr_correct_fused",    # fused no-shuffle plan
     "ocr_extract",
     "dedup_exact",
@@ -98,14 +99,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             best = wall if best is None else min(best, wall)
         timings[name] = round(best, 3)
 
-    headline_rows = rows[HEADLINE]
+    headline = HEADLINE if HEADLINE in timings else BENCH_QUERIES[0]
     result = {
         "metric": "sec for extraction+correction over the synthetic interleaved corpus (headline: ocr_correct)",
-        "value": timings[HEADLINE],
+        "value": timings[headline],
         "unit": "sec",
         "queries": timings,
         "rows": rows,
-        "spans_per_s": round(headline_rows / timings[HEADLINE], 1),
+        "spans_per_s": round(rows[headline] / timings[headline], 1),
         "sf": sf_dir,
         "num_cpus": num_cpus,
     }

@@ -95,7 +95,15 @@ def _bucketed_attach(
     both = pairs_ds.map_batches(tag_pairs, batch_format="pandas").union(
         src_ds.map_batches(tag_src, batch_format="pandas")
     )
-    return both.groupby("__bkt", num_partitions=num_buckets).map_groups(
+    # logical buckets (__bkt) bound PER-GROUP memory and scale with the
+    # cluster; the exchange's PHYSICAL partition count is capped lower —
+    # each hash-shuffle partition spawns an aggregator actor, and spawn
+    # cost dominates these small exchanges (map_groups still runs once
+    # per logical bucket regardless of physical partitioning)
+    from ._util import cluster_cpus
+
+    phys = min(num_buckets, max(8, cluster_cpus() // 4))
+    return both.groupby("__bkt", num_partitions=phys).map_groups(
         join_bucket, batch_format="pandas"
     )
 
@@ -215,7 +223,7 @@ def minhash_neardup_pairs(
 
     cands = (
         band_rows.map_batches(add_ppid, batch_format="pandas")
-        .groupby("ppid", num_partitions=num_buckets)
+        .groupby("ppid", num_partitions=min(num_buckets, 8))
         .map_groups(lambda df: partition_pairs(df), batch_format="pandas")
     )
     # a pair surfaced by several bands is deduped inside its first verify
@@ -403,7 +411,7 @@ def embedding_neardup(
     from ._util import default_num_buckets
 
     num_buckets = default_num_buckets()
-    cands = bucketed.groupby(["table_id", "bucket"], num_partitions=num_buckets).map_groups(
+    cands = bucketed.groupby(["table_id", "bucket"], num_partitions=min(num_buckets, 8)).map_groups(
         bucket_pairs, batch_format="pandas"
     )
 

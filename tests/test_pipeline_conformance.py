@@ -27,9 +27,13 @@ def expected(corpus, resources, cfg):
     return {r["doc_id"]: _span_key(r["spans"]) for r in rows}
 
 
-@pytest.mark.parametrize("mode", ["explode", "fused"])
+@pytest.mark.parametrize("mode", ["explode", "fused", "hybrid"])
 def test_pipeline_matches_oracle(ray_session, corpus, expected, cfg, mode):
-    out = corrected_dataset(corpus, cfg, mode=mode).take_all()
+    # a LOW hybrid threshold forces real traffic down BOTH branches
+    # (corpus docs average ~10 spans; the default 512 would route
+    # everything fused and leave the explode branch untested)
+    kw = {"span_threshold": 10} if mode == "hybrid" else {}
+    out = corrected_dataset(corpus, cfg, mode=mode, **kw).take_all()
     got = {r["doc_id"]: _span_key(r["spans"]) for r in out}
     assert set(got) == set(expected)
     mismatched = [k for k in expected if got[k] != expected[k]]
@@ -39,9 +43,12 @@ def test_pipeline_matches_oracle(ray_session, corpus, expected, cfg, mode):
 def test_modes_agree_and_spans_ordered(ray_session, corpus, cfg):
     a = corrected_dataset(corpus, cfg, mode="explode").take_all()
     b = corrected_dataset(corpus, cfg, mode="fused").take_all()
+    c = corrected_dataset(corpus, cfg, mode="hybrid", span_threshold=10).take_all()
     da = {r["doc_id"]: _span_key(r["spans"]) for r in a}
     db = {r["doc_id"]: _span_key(r["spans"]) for r in b}
+    dc = {r["doc_id"]: _span_key(r["spans"]) for r in c}
     assert da == db
+    assert da == dc
     for spans in da.values():
         offs = [s[3] for s in spans]
         assert offs == sorted(offs)
