@@ -179,6 +179,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": analytics.events_sliding,
         "sessionize": analytics.sessionize,
         "pricing_summary": analytics.pricing_summary,
+        "user_running_value": analytics.user_running_value,
+        "ngram_topk": analytics.ngram_topk,
+        "event_type_distinct_users": analytics.event_type_distinct_users,
+        "customers_without_orders": analytics.customers_without_orders,
         "top_customers": analytics.top_customers,
         "order_revenue": analytics.order_revenue,
         "purchase_prior_click": analytics.purchase_prior_click,
@@ -313,6 +317,32 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY event_type
                                           ORDER BY round(sum(value), 4) DESC, user_id) AS rn
                 FROM events GROUP BY event_type, user_id) WHERE rn = 1
+        """,
+        "user_running_value": """
+            SELECT event_id,
+                   round(sum(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 4) AS running_value
+            FROM events
+        """,
+        "ngram_topk": r"""
+            WITH toks AS (
+                SELECT regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE trim(text) <> ''),
+            g AS (
+                SELECT array_to_string(t[i:i+2], ' ') AS ngram
+                FROM toks, LATERAL unnest(generate_series(1, len(t) - 2)) AS u(i))
+            SELECT ngram, count(*) AS n FROM g
+            GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20
+        """,
+        "event_type_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "customers_without_orders": """
+            SELECT c.c_custkey, c.c_name
+            FROM customer c
+            ANTI JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+              ON o.o_custkey = c.c_custkey
         """,
         "top_customers": """
             SELECT t.c_custkey, c.c_name, t.total_price

@@ -606,6 +606,132 @@ def top_user_per_event_type(sf_dir: str):
     return totals.groupby("event_type").map_groups(argmax, batch_format="pandas")
 
 
+def user_running_value(sf_dir: str, num_buckets: int | None = None):
+    """Running (cumulative) per-user value sum ordered by (ts, event_id) —
+    the window-function `SUM() OVER (PARTITION BY user ORDER BY ts)`
+    shape.  Coarse-bucketed: users hash into buckets, each bucket does ONE
+    vectorized sort + groupby(user).cumsum over all its users — no
+    per-user Python, no global sort."""
+    from ._util import default_num_buckets
+
+    num_buckets = num_buckets or default_num_buckets()
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=(df["user_id"] % num_buckets).astype("int32"))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        run = df.groupby("user_id")["value"].cumsum()
+        return pd.DataFrame(
+            {"event_id": df["event_id"], "running_value": run.round(4)}
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket", num_partitions=num_buckets)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def ngram_topk(sf_dir: str, n: int = 3, k: int = 20, num_buckets: int | None = None):
+    """Top-k token n-grams by corpus count (training-data vocabulary/
+    boilerplate analysis).  In-batch partial counting (the combiner)
+    shrinks the exchange to one row per distinct ngram per batch; the
+    merge is a coarse-bucket grouped sum; the final top-k sort runs over
+    the (tiny) per-bucket winners."""
+    from ._agg import grouped_agg
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for toks in _tokens(df["text"]):
+            for i in range(len(toks) - n + 1):
+                c[" ".join(toks[i : i + n])] += 1
+        return pd.DataFrame(
+            {"ngram": list(c.keys()),
+             "n": pd.Series(list(c.values()), dtype="int64")}
+        )
+
+    totals = grouped_agg(
+        ds.map_batches(partial_counts, batch_format="pandas"),
+        ["ngram"], {"n": ("n", "sum")},
+    )
+    return totals.sort(["n", "ngram"], descending=[True, False]).limit(k)
+
+
+def event_type_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event_type as two coarse-partition
+    aggregations: dedup (event_type, user) pairs first (in-batch
+    drop_duplicates is the combiner), then count survivors per type —
+    the shuffle carries distinct pairs, never raw events."""
+    from ._agg import grouped_agg
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_type", "user_id"])
+
+    def in_batch_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["event_type", "user_id"])
+
+    pairs = grouped_agg(
+        ds.map_batches(in_batch_dedup, batch_format="pandas"),
+        ["event_type", "user_id"], {"c": ("user_id", "size")},
+    )
+    counts = grouped_agg(pairs, ["event_type"], {"n_users": ("user_id", "size")})
+    return counts
+
+
+def customers_without_orders(sf_dir: str, num_buckets: int | None = None,
+                             priority: str = "1-URGENT"):
+    """Anti-join: customers that placed NO order of the given priority —
+    both sides bucket on custkey, each bucket drops customers present in
+    its order-key set.  The priority predicate is PUSHED DOWN into the
+    parquet read (row-group pruning) and the in-batch distinct of
+    o_custkey is the combiner, so the exchange carries distinct keys of
+    the filtered side only, never raw order rows."""
+    from ._util import default_num_buckets
+
+    num_buckets = num_buckets or default_num_buckets()
+    cust = ray.data.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    orders = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey"],
+        filter=(pc.field("o_orderpriority") == priority),
+    )
+
+    def tag_cust(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["c_custkey"], "name": df["c_name"], "side": "c",
+             "bucket": (df["c_custkey"] % num_buckets).astype("int32")}
+        )
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df["o_custkey"].drop_duplicates()
+        return pd.DataFrame(
+            {"key": keys, "name": pd.Series([None] * len(keys), dtype="object"),
+             "side": "o", "bucket": (keys % num_buckets).astype("int32")}
+        )
+
+    both = cust.map_batches(tag_cust, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas")
+    )
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        have = set(df.loc[df["side"] == "o", "key"].tolist())
+        c = df[df["side"] == "c"]
+        keep = c[~c["key"].isin(have)]
+        return pd.DataFrame(
+            {"c_custkey": keep["key"].astype("int64"), "c_name": keep["name"]}
+        )
+
+    return both.groupby("bucket", num_partitions=num_buckets).map_groups(
+        anti, batch_format="pandas"
+    )
+
+
 def top_customers(sf_dir: str, n: int = 10):
     """Top-n customers by total order value; the customer dimension is a
     broadcast lookup (ray.put once), NOT a shuffle join."""
