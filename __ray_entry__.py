@@ -127,6 +127,12 @@ def _approx_distinct_tokens(sf_dir: str):
     return approx_distinct_tokens(sf_dir)
 
 
+def _heavy_hitter_tokens(sf_dir: str):
+    from ocr_corrector_ray.pipelines.sketches import heavy_hitter_tokens
+
+    return heavy_hitter_tokens(sf_dir)
+
+
 def _media_features(sf_dir: str):
     import ray.data
 
@@ -179,6 +185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": analytics.events_sliding,
         "sessionize": analytics.sessionize,
         "pricing_summary": analytics.pricing_summary,
+        "lang_quantile_chars": analytics.lang_quantile_chars,
+        "doc_sample": analytics.doc_sample,
         "user_running_value": analytics.user_running_value,
         "ngram_topk": analytics.ngram_topk,
         "event_type_distinct_users": analytics.event_type_distinct_users,
@@ -205,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_ngram": textstats.lang_id_ngram,
         "winnowing_fingerprints": textstats.winnowing_fingerprints,
         "approx_distinct_tokens": _approx_distinct_tokens,
+        "heavy_hitter_tokens": _heavy_hitter_tokens,
     }
 
 
@@ -317,6 +326,16 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY event_type
                                           ORDER BY round(sum(value), 4) DESC, user_id) AS rn
                 FROM events GROUP BY event_type, user_id) WHERE rn = 1
+        """,
+        "lang_quantile_chars": """
+            SELECT lang, count(*) AS n_docs,
+                   quantile_disc(n_chars, 0.5) AS p50_chars,
+                   quantile_disc(n_chars, 0.9) AS p90_chars
+            FROM documents GROUP BY lang
+        """,
+        "doc_sample": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE md5(CAST(doc_id AS VARCHAR)) < '10'
         """,
         "user_running_value": """
             SELECT event_id,

@@ -606,6 +606,54 @@ def top_user_per_event_type(sf_dir: str):
     return totals.groupby("event_type").map_groups(argmax, batch_format="pandas")
 
 
+def lang_quantile_chars(sf_dir: str):
+    """Per-lang EXACT doc-length quantiles (p50/p90, discrete semantics:
+    the 1-based ceil(n*q)-th sorted element, = DuckDB/Postgres
+    quantile_disc) computed scalably via a HISTOGRAM: n_chars is
+    a bounded int, so a coarse grouped count per (lang, n_chars) shrinks
+    the data to |langs| x |distinct lengths| rows, and the quantile is
+    read off the cumulative histogram — no group ever materializes its
+    raw values (the naive per-group sort would pull a whole language's
+    corpus into one task at 100 TB)."""
+    from ._agg import grouped_agg
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["lang", "n_chars"])
+    hist = grouped_agg(ds, ["lang", "n_chars"], {"cnt": ("n_chars", "size")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("n_chars")
+        cum = df["cnt"].cumsum().to_numpy()
+        n = int(cum[-1])
+        vals = df["n_chars"].to_numpy()
+
+        def disc(q: float) -> int:
+            pos = int(np.ceil(n * q))  # 1-based rank, quantile_disc semantics
+            return int(vals[np.searchsorted(cum, pos)])
+
+        return pd.DataFrame(
+            {"lang": [df["lang"].iloc[0]], "n_docs": [n],
+             "p50_chars": [disc(0.5)], "p90_chars": [disc(0.9)]}
+        )
+
+    # the histogram is tiny (|langs| x |lengths|); per-lang finish is cheap
+    return hist.groupby("lang").map_groups(finish, batch_format="pandas")
+
+
+def doc_sample(sf_dir: str, hex_prefix_below: str = "10"):
+    """Deterministic hash sample (~|prefix|/256 of the corpus): keep docs
+    whose md5(doc_id) hex digest sorts below the threshold prefix.
+    Stateless, seedless, reproducible across engines — the oracle runs
+    the identical predicate in SQL.  The sampling pattern every
+    training-data pipeline needs for eval splits / debugging slices."""
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["doc_id"].map(lambda d: hashlib.md5(str(d).encode()).hexdigest())
+        return df[h < hex_prefix_below]
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
 def user_running_value(sf_dir: str, num_buckets: int | None = None):
     """Running (cumulative) per-user value sum ordered by (ts, event_id) —
     the window-function `SUM() OVER (PARTITION BY user ORDER BY ts)`

@@ -67,6 +67,90 @@ class HyperLogLog:
 from ..functions.hashing import hash64_array as _hash_items  # shared idiom
 
 
+class CountMin:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): ``d`` rows of
+    ``w`` counters; an item's estimate is the MIN over its row counters
+    (always >= the true count).  Merge = elementwise sum — the property
+    that makes it a one-pass distributed aggregate.  Deterministic: row
+    seeds derive from the row index via the same blake2b hashing as the
+    rest of the engine."""
+
+    def __init__(self, w: int = 2048, d: int = 4, table: np.ndarray | None = None):
+        self.w = w
+        self.d = d
+        self.table = table if table is not None else np.zeros((d, w), dtype=np.int64)
+
+    def _cols(self, hashes: np.ndarray) -> np.ndarray:
+        """(d, n) column indices: one independent slot per row via a
+        seeded affine remix of the 64-bit item hash."""
+        rows = np.arange(self.d, dtype=np.uint64)[:, None]
+        mixed = hashes[None, :] * (rows * np.uint64(0x9E3779B97F4A7C15) + np.uint64(1))
+        return ((mixed >> np.uint64(17)) % np.uint64(self.w)).astype(np.int64)
+
+    def add(self, hashes: np.ndarray, counts: np.ndarray) -> None:
+        cols = self._cols(hashes)
+        for r in range(self.d):
+            np.add.at(self.table[r], cols[r], counts)
+
+    def estimate(self, hashes: np.ndarray) -> np.ndarray:
+        cols = self._cols(hashes)
+        return np.min(
+            np.stack([self.table[r][cols[r]] for r in range(self.d)]), axis=0
+        )
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        return CountMin(self.w, self.d, self.table + other.table)
+
+    def serialize(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def deserialize(cls, payload: bytes, w: int = 2048, d: int = 4) -> "CountMin":
+        return cls(w, d, np.frombuffer(payload, dtype=np.int64).reshape(d, w).copy())
+
+
+def heavy_hitter_tokens(sf_dir: str, k: int = 20, w: int = 2048, d: int = 4,
+                        candidates_per_batch: int = 64):
+    """Approximate top-k tokens by count: each batch emits ONE Count-Min
+    sketch plus its local top candidate tokens; the merged sketch scores
+    the (small) candidate union.  The exchange carries d*w counters and a
+    few candidate strings per batch — never per-token rows.  CM
+    guarantees estimate >= true count; a local heavy hitter is in some
+    batch's candidate list, so the true top-k survive (pytest bounds the
+    error and pins the winners against the exact counts)."""
+    import os
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+
+    def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for text in df["text"].fillna(""):
+            c.update(text.split())
+        cm = CountMin(w, d)
+        if c:
+            toks = sorted(c.keys())
+            cm.add(_hash_items(toks), np.array([c[t] for t in toks], dtype=np.int64))
+        cands = [t for t, _ in c.most_common(candidates_per_batch)]
+        return pd.DataFrame({"sketch": [cm.serialize()], "cands": [cands]})
+
+    rows = ds.map_batches(sketch_batch, batch_format="pandas").take_all()
+    merged = CountMin(w, d)
+    cands: set = set()
+    for row in rows:
+        merged = merged.merge(CountMin.deserialize(row["sketch"], w, d))
+        cands.update(row["cands"])
+    cand_list = sorted(cands)
+    if not cand_list:
+        return ray.data.from_items([])
+    est = merged.estimate(_hash_items(cand_list))
+    order = np.lexsort((np.array(cand_list, dtype=object), -est))[:k]
+    return ray.data.from_items(
+        [{"token": cand_list[i], "est_count": int(est[i])} for i in order]
+    )
+
+
 def approx_distinct_tokens(sf_dir: str, p: int = 12):
     """Approximate distinct-token count over documents.text: one HLL per
     batch -> merge -> estimate.  Returns a one-row Dataset

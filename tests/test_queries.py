@@ -6,6 +6,7 @@ sf0.01; scripts/check_queries.py mirrors it locally.)"""
 import os
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -85,6 +86,41 @@ def test_ivf_ann_recall_vs_exact(ray_session):
     # every reported neighbour's score matches the exact computation
     merged = approx.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_a", "_e"))
     assert (merged["cos_sim_a"] == merged["cos_sim_e"]).all()
+
+
+def test_count_min_heavy_hitters(ray_session, con):
+    """CM-sketch top-k vs the exact token counts: estimates are upper
+    bounds (CM never undercounts), the winner set matches, and the
+    over-estimate is within the eps*N sketch guarantee."""
+    hh = entrymod.queries()["heavy_hitter_tokens"](SF_DIR).to_pandas()
+    exact = con.execute(
+        r"SELECT tok, count(*) AS n FROM (SELECT unnest(regexp_split_to_array(trim(text),'\s+')) tok "
+        r"FROM documents WHERE trim(text)<>'') GROUP BY tok ORDER BY n DESC, tok LIMIT 20"
+    ).df()
+    true_counts = dict(zip(exact["tok"], exact["n"]))
+    total = con.execute(
+        r"SELECT count(*) FROM (SELECT unnest(regexp_split_to_array(trim(text),'\s+')) tok "
+        r"FROM documents WHERE trim(text)<>'')"
+    ).fetchone()[0]
+    assert hh["token"].iloc[0] == exact["tok"].iloc[0]
+    assert len(set(hh["token"]) & set(exact["tok"])) >= 18
+    eps_n = 2 * np.e / 2048 * total  # w=2048 -> eps = e/w; generous 2x slack
+    for tok, est in zip(hh["token"], hh["est_count"]):
+        if tok in true_counts:
+            assert est >= true_counts[tok]
+            assert est - true_counts[tok] <= eps_n
+
+    # merge property: sketch(a) + sketch(b) == sketch(a ++ b)
+    from ocr_corrector_ray.functions.hashing import hash64_array
+    from ocr_corrector_ray.pipelines.sketches import CountMin
+
+    a, b, u = CountMin(64, 3), CountMin(64, 3), CountMin(64, 3)
+    ha = hash64_array([f"x{i}" for i in range(50)])
+    hb = hash64_array([f"x{i}" for i in range(25, 75)])
+    a.add(ha, np.ones(50, dtype=np.int64))
+    b.add(hb, np.ones(50, dtype=np.int64))
+    u.add(np.concatenate([ha, hb]), np.ones(100, dtype=np.int64))
+    assert (a.merge(b).table == u.table).all()
 
 
 def test_hll_sketch_accuracy(ray_session):
