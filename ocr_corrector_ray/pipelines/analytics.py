@@ -751,16 +751,22 @@ def customers_without_orders(sf_dir: str, num_buckets: int | None = None,
     )
 
     def tag_cust(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df["c_custkey"].to_numpy()
         return pd.DataFrame(
-            {"key": df["c_custkey"], "name": df["c_name"], "side": "c",
-             "bucket": (df["c_custkey"] % num_buckets).astype("int32")}
+            {"key": keys, "name": df["c_name"].to_numpy(), "side": "c",
+             "bucket": (keys % num_buckets).astype("int32")}
         )
 
     def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
-        keys = df["o_custkey"].drop_duplicates()
+        # .to_numpy() before building the frame: a dict-of-Series
+        # constructor would ALIGN drop_duplicates' sparse index against
+        # fresh range indexes (NaN keys, float64 casts — and divergent
+        # block schemas split hash-shuffle groups).  Both sides emit the
+        # identical non-null schema on purpose.
+        keys = df["o_custkey"].drop_duplicates().to_numpy()
         return pd.DataFrame(
-            {"key": keys, "name": pd.Series([None] * len(keys), dtype="object"),
-             "side": "o", "bucket": (keys % num_buckets).astype("int32")}
+            {"key": keys, "name": [""] * len(keys), "side": "o",
+             "bucket": (keys % num_buckets).astype("int32")}
         )
 
     both = cust.map_batches(tag_cust, batch_format="pandas").union(

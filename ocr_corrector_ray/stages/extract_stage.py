@@ -28,9 +28,11 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         except Exception:
             extracted.append(t)
 
-    # scatter the extracted strings back into the text column
-    new_text = batch.column("text").to_pylist()
-    for i, pos in enumerate(idx.to_pylist()):
-        new_text[pos] = extracted[i]
+    # scatter the extracted strings back (clean rows stay zero-copy)
+    new_text = pc.replace_with_mask(
+        batch.column("text").combine_chunks(), mask.combine_chunks()
+        if isinstance(mask, pa.ChunkedArray) else mask,
+        pa.array(extracted, pa.string()),
+    )
     col_idx = batch.column_names.index("text")
-    return batch.set_column(col_idx, "text", pa.array(new_text, pa.string()))
+    return batch.set_column(col_idx, "text", new_text)

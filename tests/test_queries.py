@@ -39,6 +39,13 @@ def con():
 
 @pytest.mark.parametrize("name", SQL_SAMPLE)
 def test_query_matches_oracle(ray_session, con, name):
+    # the driver's gate runs every query in ONE session where the
+    # flagship pipelines have already switched the DataContext to
+    # HASH_SHUFFLE — run under the same strategy so shuffle-sensitive
+    # bugs (block-schema divergence splitting groups) surface here
+    from ocr_corrector_ray.pipelines.correct import enable_hash_shuffle
+
+    enable_hash_shuffle()
     got = entrymod.queries()[name](SF_DIR).to_pandas()
     exp = con.execute(entrymod.oracle_sql()[name]).df()
     g, x = _normalize(got), _normalize(exp)
