@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": analytics.pricing_summary,
         "lang_quantile_chars": analytics.lang_quantile_chars,
         "doc_sample": analytics.doc_sample,
+        "stratified_sample": analytics.stratified_sample,
+        "part_type_revenue": analytics.part_type_revenue,
         "user_running_value": analytics.user_running_value,
         "ngram_topk": analytics.ngram_topk,
         "event_type_distinct_users": analytics.event_type_distinct_users,
@@ -209,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_signatures": dedup.simhash_signatures,
         "embedding_neardup": dedup.embedding_neardup,
+        "neardup_survivors": dedup.neardup_survivors,
         # text analysis + sketches (rows-only)
         "lang_id_ngram": textstats.lang_id_ngram,
         "winnowing_fingerprints": textstats.winnowing_fingerprints,
@@ -336,6 +339,20 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": """
             SELECT doc_id, n_chars FROM documents
             WHERE md5(CAST(doc_id AS VARCHAR)) < '10'
+        """,
+        "stratified_sample": """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+                FROM documents) WHERE rn <= 20
+        """,
+        "part_type_revenue": """
+            SELECT split_part(p.p_type, ' ', 1) AS type_prefix,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY 1
         """,
         "user_running_value": """
             SELECT event_id,

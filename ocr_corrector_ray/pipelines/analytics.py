@@ -639,6 +639,78 @@ def lang_quantile_chars(sf_dir: str):
     return hist.groupby("lang").map_groups(finish, batch_format="pandas")
 
 
+def stratified_sample(sf_dir: str, per_stratum: int = 20):
+    """Deterministic stratified sample: the ``per_stratum`` docs with the
+    smallest md5(doc_id) per lang — reproducible eval splits with equal
+    representation per stratum.  Strata hash into a coarse groupby; each
+    stratum keeps a vectorized nsmallest, so the exchange carries only
+    (lang, doc_id, digest) triples and the result is engine-independent
+    (the oracle ranks by the identical digest in SQL)."""
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def digest(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["doc_id"].map(lambda d: hashlib.md5(str(d).encode()).hexdigest())
+        # in-batch combiner: only each batch's local top candidates per
+        # stratum survive to the shuffle
+        out = df.assign(h=h).sort_values("h")
+        return out.groupby("lang", group_keys=False).head(per_stratum)
+
+    def per_lang(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df.sort_values("h").head(per_stratum)
+        return pd.DataFrame({"lang": keep["lang"], "doc_id": keep["doc_id"]})
+
+    return (
+        ds.map_batches(digest, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(per_lang, batch_format="pandas")
+    )
+
+
+def part_type_revenue(sf_dir: str):
+    """Fact x dimension broadcast join: lineitem revenue per part
+    type-prefix.  The part table is the SMALL side — read once on the
+    driver (pruned to two columns), shipped via ray.put, and probed
+    inside map_batches; only the pre-aggregated (prefix, partial sum)
+    rows reach the final groupby.  The fact table is never shuffled on
+    the join key."""
+    import pyarrow.parquet as pq
+
+    pt = pq.read_table(_p(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    prefix = {
+        k: t.split(" ")[0]
+        for k, t in zip(pt.column("p_partkey").to_pylist(), pt.column("p_type").to_pylist())
+    }
+    pref_ref = ray.put(prefix)
+
+    items = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_partkey", "l_extendedprice", "l_discount"]
+    )
+
+    class Probe:
+        def __init__(self, ref):
+            self.prefix = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            rev = df["l_extendedprice"] * (1 - df["l_discount"])
+            pfx = df["l_partkey"].map(self.prefix)
+            part = pd.DataFrame({"type_prefix": pfx, "revenue": rev}).groupby(
+                "type_prefix", as_index=False
+            ).agg(revenue=("revenue", "sum"), n_items=("revenue", "size"))
+            return part
+
+    from ._agg import grouped_agg
+
+    partials = items.map_batches(Probe, fn_constructor_kwargs={"ref": pref_ref},
+                                 batch_format="pandas", concurrency=2)
+    final = grouped_agg(partials, ["type_prefix"],
+                        {"revenue": ("revenue", "sum"), "n_items": ("n_items", "sum")})
+    return final.map_batches(
+        lambda df: df.assign(revenue=df["revenue"].round(2),
+                             n_items=df["n_items"].astype("int64")),
+        batch_format="pandas",
+    )
+
+
 def doc_sample(sf_dir: str, hex_prefix_below: str = "10"):
     """Deterministic hash sample (~|prefix|/256 of the corpus): keep docs
     whose md5(doc_id) hex digest sorts below the threshold prefix.

@@ -314,6 +314,47 @@ def ngram_jaccard_pairs(sf_dir: str, ids_a=(0, 1, 2, 3, 4), shingle_n: int = 3):
                           batch_format="pandas", concurrency=2)
 
 
+def neardup_survivors(sf_dir: str, threshold: float = 0.5):
+    """Fuzzy-dedup END product: one surviving doc_id per near-duplicate
+    CLUSTER (connected components over the verified MinHash pair graph;
+    min doc_id represents the cluster), plus every unpaired doc.
+
+    The pair graph is output-sized (near-dups are rare by construction),
+    so components run as driver-side union-find over the collected pairs
+    — the corpus itself is never collected; the drop set (non-survivors,
+    also small) broadcasts back into a streaming filter.  At 10^12 docs
+    with a pathological pair volume this becomes iterated label
+    propagation over the pair Dataset; the union-find stays correct for
+    any realistic near-dup rate."""
+    pairs = minhash_neardup_pairs(sf_dir, threshold=threshold).to_pandas()
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # min-id root so the survivor rule is deterministic
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    drop = {x for x in parent if find(x) != x}
+    drop_ref = ray.put(drop)
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(drop_ref)
+        return df[~df["doc_id"].isin(d)]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

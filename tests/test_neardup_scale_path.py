@@ -36,6 +36,37 @@ def test_embedding_neardup_matches_broadcast_golden(ray_session):
     assert got == _golden()["embedding"]
 
 
+def test_neardup_survivors_drop_cluster_non_representatives(ray_session):
+    """Survivors = every doc minus each pair-graph component's non-min
+    members — recomputed here independently from the golden pair list."""
+    from ocr_corrector_ray.pipelines import dedup
+
+    surv = set(dedup.neardup_survivors(SF_DIR).to_pandas()["doc_id"])
+    pairs = _golden()["minhash"]
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b, _ in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    drops = {x for x in parent if find(x) != x}
+    import pyarrow.parquet as pq
+
+    all_ids = set(
+        pq.read_table(SF_DIR + "/documents.parquet", columns=["doc_id"])
+        .column("doc_id").to_pylist()
+    )
+    assert surv == all_ids - drops
+    assert drops and drops < all_ids  # the clusters actually dropped someone
+
+
 def test_no_driver_side_broadcast_left_in_dedup():
     """Tripwire: the scale-killer pattern (driver pq.read_table of a full
     table + ray.put of a dict) must not return to the dedup module; the
