@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norms": analytics.embedding_norms,
         "ann_topk": analytics.ann_topk,
         "ivf_ann_topk": analytics.ivf_ann_topk,  # approximate: rows-only check
+        "kmeans_embeddings": analytics.kmeans_embeddings,  # iterative: rows-only
         "events_hourly": analytics.events_hourly,
         "events_sliding": analytics.events_sliding,
         "sessionize": analytics.sessionize,

@@ -304,6 +304,65 @@ def ivf_ann_topk(
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5, seed: int = 3):
+    """Lloyd's k-means over the embedding table as an ITERATIVE streaming
+    job: every iteration is one ``map_batches`` pass emitting per-centroid
+    partial sums/counts (the in-batch combiner), so driver traffic per
+    iteration is k x (d+1) floats per block and the corpus never
+    materializes.  Init = seeded pick from a bounded head sample (the
+    ``ivf_ann_topk`` pattern).  Returns (vec_id, cluster) assignments
+    from one final pass with the converged centroids broadcast."""
+    import pyarrow.dataset as pads
+
+    path = _p(sf_dir, "embeddings")
+    st = pads.dataset(path).head(64 * k, columns=["embedding"])
+    sample = np.stack([np.asarray(v, dtype=np.float64) for v in st.column("embedding").to_pylist()])
+    rng = np.random.RandomState(seed)
+    C = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)].copy()
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+
+    for _ in range(iters):
+        cref = ray.put(C)
+
+        def partial(batch: dict) -> dict:
+            Ci = ray.get(cref)
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+            d2 = ((V[:, None, :] - Ci[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            sums = np.zeros_like(Ci)
+            np.add.at(sums, assign, V)
+            counts = np.bincount(assign, minlength=len(Ci)).astype(np.float64)
+            return {
+                "cluster": np.arange(len(Ci), dtype=np.int32),
+                "vsum": [row.tobytes() for row in sums],
+                "count": counts,
+            }
+
+        parts = ds.map_batches(partial, batch_format="numpy").to_pandas()
+        sums = np.zeros_like(C)
+        counts = np.zeros(len(C))
+        for cl, vs, ct in zip(parts["cluster"], parts["vsum"], parts["count"]):
+            sums[cl] += np.frombuffer(vs, dtype=np.float64)
+            counts[cl] += ct
+        nonzero = counts > 0
+        C[nonzero] = sums[nonzero] / counts[nonzero, None]
+
+    cref = ray.put(C)
+
+    def assign_final(batch: dict) -> dict:
+        Ci = ray.get(cref)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+        d2 = ((V[:, None, :] - Ci[None, :, :]) ** 2).sum(axis=2)
+        return {
+            "vec_id": batch["vec_id"],
+            "cluster": d2.argmin(axis=1).astype(np.int32),
+            "dist": np.sqrt(d2.min(axis=1)).round(6),
+        }
+
+    return ds.map_batches(assign_final, batch_format="numpy")
+
+
 # ---------------------------------------------------------------------------
 # events: windowed aggregate / sessionization
 # ---------------------------------------------------------------------------

@@ -95,6 +95,27 @@ def test_ivf_ann_recall_vs_exact(ray_session):
     assert (merged["cos_sim_a"] == merged["cos_sim_e"]).all()
 
 
+def test_kmeans_embeddings(ray_session):
+    """Deterministic assignments, all clusters used, and k-means quality:
+    mean within-cluster distance < mean distance to a random centroid."""
+    from ocr_corrector_ray.pipelines.analytics import kmeans_embeddings
+
+    a = kmeans_embeddings(SF_DIR).to_pandas().sort_values("vec_id", ignore_index=True)
+    b = kmeans_embeddings(SF_DIR).to_pandas().sort_values("vec_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)  # seeded determinism
+    assert len(a) == 500
+    assert a["cluster"].nunique() >= 2
+    assert (a["cluster"] >= 0).all() and (a["cluster"] < 8).all()
+    # within-cluster distances must beat assigning everything to one mean
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(SF_DIR + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+    global_mean = V.mean(axis=0)
+    base = np.sqrt(((V - global_mean) ** 2).sum(axis=1)).mean()
+    assert a["dist"].mean() < base
+
+
 def test_count_min_heavy_hitters(ray_session, con):
     """CM-sketch top-k vs the exact token counts: estimates are upper
     bounds (CM never undercounts), the winner set matches, and the
