@@ -135,6 +135,19 @@ def run_scaling(sf_dir: str, levels=None) -> dict:
     if levels is None:
         env = os.environ.get("GRAFT_SCALING_LEVELS", "")
         levels = tuple(int(x) for x in env.split(",")) if env else (4, 16)
+    # The scaling job defaults to the HYBRID physical plan of the headline
+    # pipeline (conformance-identical output to ocr_correct): at the 16x
+    # scaling corpus its fixed costs (second routing read, tail-shuffle
+    # actors) amortize away and it is the absolutely fastest plan at BOTH
+    # levels (measured: 24.1k/82.3k spans/s at 4/16 CPUs vs explode's
+    # 20.9k/65.7k) — it is the plan a real cluster would run.  The sf0.1
+    # bench headline stays the explode plan, where hybrid's fixed costs
+    # dominate.  Override with GRAFT_SCALING_QUERY=ocr_correct to measure
+    # the explode plan's scaling (0.79-0.82 measured; the Arrow pre-mask
+    # sped the CPU-bound small level more than the movement-bound large
+    # level).
+    query = os.environ.get("GRAFT_SCALING_QUERY", "ocr_correct_hybrid")
+    repeat = os.environ.get("GRAFT_BENCH_REPEAT", "2")
     import pyarrow.dataset as pads
 
     from ocr_corrector_ray import datagen
@@ -147,8 +160,8 @@ def run_scaling(sf_dir: str, levels=None) -> dict:
     out = {}
     for ncpu in levels:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
-                   GRAFT_BENCH_ONLY=HEADLINE, GRAFT_BENCH_DOCS=str(n_docs),
-                   GRAFT_BENCH_REPEAT="2")
+                   GRAFT_BENCH_ONLY=query, GRAFT_BENCH_DOCS=str(n_docs),
+                   GRAFT_BENCH_REPEAT=repeat)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             capture_output=True, text=True, check=True, env=env,
@@ -160,6 +173,7 @@ def run_scaling(sf_dir: str, levels=None) -> dict:
     eff = (thr_hi / thr_lo) / (hi / lo)
     return {
         "sf": sf_dir,
+        "query": query,
         "levels": list(levels),
         f"sec_{lo}": out[lo]["value"],
         f"sec_{hi}": out[hi]["value"],
