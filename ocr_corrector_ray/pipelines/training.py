@@ -382,6 +382,77 @@ def write_training_corpus(instances_ds, out_dir: str, seed: int = 12345):
     return out_dir
 
 
+def write_tfrecord_corpus(
+    instances_ds,
+    out_dir: str,
+    vocab: dict | None = None,
+    max_seq_length: int = 64,
+    max_predictions: int = 20,
+    seed: int = 12345,
+):
+    """REAL TFRecord shards of masked-LM instances — the reference's
+    serving format (create_tf_record.py:104-180, feature schema
+    input_ids / input_mask / segment_ids / masked_lm_positions /
+    masked_lm_ids / masked_lm_weights, zero-padded to max_seq_length /
+    max_predictions), written without TensorFlow via the pure-Python
+    encoder in ``functions/tfrecord.py`` (tf.data.TFRecordDataset-
+    compatible framing + Example protos).
+
+    Distributed: seeded shuffle, then each block becomes one shard file
+    written inside ``map_batches`` (stateless tasks; one pass, no
+    driver materialization).  Returns the shard manifest Dataset."""
+    import os
+    import uuid
+
+    from .. import datagen
+    from ..functions.tfrecord import encode_example, write_tfrecord_file
+    from ..functions.tokenization import build_synthetic_vocab
+
+    if vocab is None:
+        _, inventory, _ = datagen.static_tables()
+        vocab = build_synthetic_vocab(inventory)
+    os.makedirs(out_dir, exist_ok=True)
+    unk = vocab.get("[UNK]", 1)
+    cls_id, sep_id, mask_id = vocab.get("[CLS]", 2), vocab.get("[SEP]", 3), vocab.get("[MASK]", 4)
+
+    def to_ids(tokens):
+        return [vocab.get(t, unk) for t in tokens]
+
+    def write_shard(df: pd.DataFrame) -> pd.DataFrame:
+        examples = []
+        for tokens, positions, labels in zip(
+            df["tokens"], df["masked_positions"], df["labels"]
+        ):
+            # [CLS] tokens [SEP] framing, as the reference's instances carry
+            ids = [cls_id] + to_ids(list(tokens))[: max_seq_length - 2] + [sep_id]
+            input_mask = [1] * len(ids)
+            pad = max_seq_length - len(ids)
+            input_ids = ids + [0] * pad
+            input_mask = input_mask + [0] * pad
+            segment_ids = [0] * max_seq_length
+            # +1: positions shift under the [CLS] prefix
+            mpos = [int(p) + 1 for p in positions][:max_predictions]
+            mids = to_ids(list(labels))[:max_predictions]
+            weights = [1.0] * len(mpos)
+            ppad = max_predictions - len(mpos)
+            ex = encode_example({
+                "input_ids": input_ids,
+                "input_mask": input_mask,
+                "segment_ids": segment_ids,
+                "masked_lm_positions": mpos + [0] * ppad,
+                "masked_lm_ids": mids + [0] * ppad,
+                "masked_lm_weights": weights + [0.0] * ppad,
+            })
+            examples.append(ex)
+        path = os.path.join(out_dir, f"shard-{uuid.uuid4().hex[:12]}.tfrecord")
+        n = write_tfrecord_file(path, examples)
+        return pd.DataFrame({"path": [path], "n_examples": pd.Series([n], dtype="int64")})
+
+    return instances_ds.random_shuffle(seed=seed).map_batches(
+        write_shard, batch_format="pandas"
+    )
+
+
 _SENT_END = re.compile(r"([。；？！])")
 
 
