@@ -132,22 +132,28 @@ def minhash_signatures(sf_dir: str, num_perm: int = 64, shingle_n: int = 3):
     ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        sigs = []
-        for text in df["text"].fillna(""):
-            sh = _shingles(text, shingle_n)
-            if not sh:
-                sigs.append(np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64).tolist())
-                continue
-            x = _hash64(sh)  # (s,)
-            # (p, s) affine permutation over the Mersenne prime, min per
-            # row.  INTENTIONAL: a*x is computed in uint64 and wraps mod
-            # 2^64 before the Mersenne reduction — same behavior as
-            # datasketch's MinHash, chosen for the vectorized numpy path;
-            # the theoretical universal-hash guarantee is slightly
-            # weakened but Jaccard estimates remain serviceable
-            vals = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-            sigs.append(vals.min(axis=1).astype(np.int64).tolist())
-        return pd.DataFrame({"doc_id": df["doc_id"], "sig": sigs})
+        # fully batch-vectorized: ONE hash call over every shingle of
+        # every doc in the batch, then per-permutation affine remix +
+        # segmented min (minimum.reduceat at the doc boundaries) — numpy
+        # touches each shingle 64 times, Python touches each DOC once.
+        # INTENTIONAL: a*x is computed in uint64 and wraps mod 2^64
+        # before the Mersenne reduction — same behavior as datasketch's
+        # MinHash; the theoretical universal-hash guarantee is slightly
+        # weakened but Jaccard estimates remain serviceable.
+        texts = df["text"].fillna("")
+        sh_lists = [_shingles(t, shingle_n) for t in texts]
+        lens = np.array([len(s) for s in sh_lists], dtype=np.int64)
+        out = np.full((len(df), num_perm), np.iinfo(np.int64).max, dtype=np.int64)
+        flat = [s for lst in sh_lists for s in lst]
+        if flat:
+            x = _hash64(flat)
+            nz = lens > 0
+            starts = np.concatenate(([0], np.cumsum(lens)))[:-1][nz]
+            M = np.uint64(_MERSENNE)
+            for p in range(num_perm):
+                vals = (a[p] * x + b[p]) % M
+                out[nz, p] = np.minimum.reduceat(vals, starts).astype(np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"], "sig": out.tolist()})
 
     return ds.map_batches(fn, batch_format="pandas")
 
