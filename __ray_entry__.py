@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis + sketches (rows-only)
         "lang_id_ngram": textstats.lang_id_ngram,
         "winnowing_fingerprints": textstats.winnowing_fingerprints,
+        "tfidf_top_terms": textstats.tfidf_top_terms,
         "approx_distinct_tokens": _approx_distinct_tokens,
         "heavy_hitter_tokens": _heavy_hitter_tokens,
     }

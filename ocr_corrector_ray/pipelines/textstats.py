@@ -102,3 +102,73 @@ def winnowing_fingerprints(sf_dir: str, k: int = 5, window: int = 4):
         )
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 2):
+    """Per-doc top-k TF-IDF terms (doc_id, term, tfidf) — the classic
+    corpus-statistics op for boilerplate/keyword analysis.
+
+    Two passes: (1) the document-frequency table as a coarse grouped
+    count over in-batch DISTINCT (doc, token) pairs — the combiner means
+    the exchange carries each doc's distinct tokens once; (2) the small
+    DF table (pruned to ``min_df``; token vocabularies are sublinear in
+    corpus size) broadcasts via ray.put and each batch scores its docs
+    locally.  idf = ln(N / df); ties broken by term for determinism."""
+    import math
+
+    import ray as _ray
+
+    from ._agg import grouped_agg
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        doc_out, tok_out = [], []
+        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+            for tok in set(text.split()):
+                doc_out.append(doc_id)
+                tok_out.append(tok)
+        return pd.DataFrame({"doc_id": doc_out, "token": tok_out})
+
+    df_table = grouped_agg(
+        ds.map_batches(distinct_pairs, batch_format="pandas"),
+        ["token"], {"df": ("doc_id", "size")},
+    ).to_pandas()
+    df_table = df_table[df_table["df"] >= min_df]
+    idf_ref = _ray.put(
+        {t: math.log(n_docs / d) for t, d in zip(df_table["token"], df_table["df"])}
+    )
+
+    class Score:
+        def __init__(self, ref):
+            self.idf = _ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            doc_out, term_out, val_out = [], [], []
+            for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+                toks = text.split()
+                if not toks:
+                    continue
+                counts: dict = {}
+                for t in toks:
+                    counts[t] = counts.get(t, 0) + 1
+                scored = sorted(
+                    (
+                        (-(c / len(toks)) * self.idf[t], t)
+                        for t, c in counts.items()
+                        if t in self.idf
+                    ),
+                )[:k]
+                for neg, t in scored:
+                    doc_out.append(doc_id)
+                    term_out.append(t)
+                    val_out.append(round(-neg, 6))
+            return pd.DataFrame({
+                "doc_id": pd.Series(doc_out, dtype="int64"),
+                "term": term_out,
+                "tfidf": pd.Series(val_out, dtype="float64"),
+            })
+
+    return ds.map_batches(Score, fn_constructor_kwargs={"ref": idf_ref},
+                          batch_format="pandas", concurrency=2)

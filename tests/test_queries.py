@@ -95,6 +95,38 @@ def test_ivf_ann_recall_vs_exact(ray_session):
     assert (merged["cos_sim_a"] == merged["cos_sim_e"]).all()
 
 
+def test_tfidf_top_terms_matches_reference_computation(ray_session):
+    """Exact check against an independent single-process recomputation."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from ocr_corrector_ray.pipelines.textstats import tfidf_top_terms
+
+    got = tfidf_top_terms(SF_DIR).to_pandas()
+    t = pq.read_table(SF_DIR + "/documents.parquet", columns=["doc_id", "text"])
+    docs = {d: (x or "").split() for d, x in zip(t.column("doc_id").to_pylist(),
+                                                 t.column("text").to_pylist())}
+    n = len(docs)
+    df_counts: dict = {}
+    for toks in docs.values():
+        for tok in set(toks):
+            df_counts[tok] = df_counts.get(tok, 0) + 1
+    idf = {tok: math.log(n / c) for tok, c in df_counts.items() if c >= 2}
+    expected = set()
+    for d, toks in docs.items():
+        if not toks:
+            continue
+        counts: dict = {}
+        for tok in toks:
+            counts[tok] = counts.get(tok, 0) + 1
+        scored = sorted(((-(c / len(toks)) * idf[tok], tok)
+                         for tok, c in counts.items() if tok in idf))[:3]
+        for neg, tok in scored:
+            expected.add((d, tok, round(-neg, 6)))
+    assert set(zip(got["doc_id"], got["term"], got["tfidf"])) == expected
+
+
 def test_kmeans_embeddings(ray_session):
     """Deterministic assignments, all clusters used, and k-means quality:
     mean within-cluster distance < mean distance to a random centroid."""
