@@ -25,7 +25,10 @@ def main(argv=None) -> int:
     ap.add_argument("--gen-docs", type=int, default=0,
                     help="generate a synthetic corpus of N docs instead of --input")
     ap.add_argument("--output", help="output directory (parquet)")
-    ap.add_argument("--mode", choices=["explode", "fused"], default="explode")
+    ap.add_argument("--mode", choices=["explode", "fused", "hybrid"], default="explode")
+    ap.add_argument("--span-threshold", type=int, default=4096,
+                    help="hybrid-mode routing bound: docs with more spans than "
+                         "this take the explode/shuffle path")
     ap.add_argument("--checkpoint", action="store_true",
                     help="resumable run: per-partition fragments + lineage manifest "
                          "under --output; rerun skips completed partitions "
@@ -102,7 +105,8 @@ def main(argv=None) -> int:
             print(json.dumps(summary))
             return 0
         ds = corrected_dataset(
-            src, mode=args.mode, concurrency=args.concurrency, batch_size=args.batch_size
+            src, mode=args.mode, concurrency=args.concurrency,
+            batch_size=args.batch_size, span_threshold=args.span_threshold,
         )
         ds.write_parquet(args.output)
         wall = time.perf_counter() - t0

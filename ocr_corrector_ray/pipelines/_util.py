@@ -20,3 +20,18 @@ def default_num_buckets(multiplier: int = 1, floor: int = 8) -> int:
     by a constant written for a laptop (VERDICT r1: literal 8/16 bucket
     counts 'starve a big cluster')."""
     return max(floor, cluster_cpus() * multiplier)
+
+
+def physical_partitions(logical: int) -> int:
+    """Physical partition count for a ``groupby(bucket)`` exchange whose
+    LOGICAL bucket id already bounds per-group memory.
+
+    The two are deliberately decoupled: each hash-shuffle partition spawns
+    an aggregator actor (~0.15 s spawn, measured round 2 — 32 aggregators
+    cost ~5 s of wall on an otherwise-instant exchange), while
+    ``map_groups`` fires once per LOGICAL bucket regardless.  So the
+    logical count scales with the cluster (``default_num_buckets``) and
+    the physical count follows this cluster-proportional rule with a
+    lower constant — a big cluster still gets a wide exchange, a laptop
+    doesn't pay 32 actor spawns for a 1k-row aggregate."""
+    return min(logical, max(8, cluster_cpus() // 4))

@@ -100,10 +100,9 @@ def _bucketed_attach(
     # each hash-shuffle partition spawns an aggregator actor, and spawn
     # cost dominates these small exchanges (map_groups still runs once
     # per logical bucket regardless of physical partitioning)
-    from ._util import cluster_cpus
+    from ._util import physical_partitions
 
-    phys = min(num_buckets, max(8, cluster_cpus() // 4))
-    return both.groupby("__bkt", num_partitions=phys).map_groups(
+    return both.groupby("__bkt", num_partitions=physical_partitions(num_buckets)).map_groups(
         join_bucket, batch_format="pandas"
     )
 
@@ -227,9 +226,11 @@ def minhash_neardup_pairs(
     def add_ppid(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(ppid=(df["band_hash"] % num_buckets).astype("int32"))
 
+    from ._util import physical_partitions
+
     cands = (
         band_rows.map_batches(add_ppid, batch_format="pandas")
-        .groupby("ppid", num_partitions=min(num_buckets, 8))
+        .groupby("ppid", num_partitions=physical_partitions(num_buckets))
         .map_groups(lambda df: partition_pairs(df), batch_format="pandas")
     )
     # a pair surfaced by several bands is deduped inside its first verify
@@ -250,6 +251,10 @@ def minhash_neardup_pairs(
     )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
+        # a candidate id missing from the documents table leaves NaN from
+        # the lookup; NaN floats are truthy, so they must be filtered —
+        # not `or ""`-coalesced — before the shingle kernel (ADVICE r2)
+        df = df[df["text_a"].notna() & df["text_b"].notna()]
         keep_a, keep_b, jac = [], [], []
         sets: dict = {}  # per-batch shingle-set memo (ids repeat across pairs)
 
@@ -455,12 +460,12 @@ def embedding_neardup(
         return pd.DataFrame({"a": pd.Series(a_out, dtype="int64"),
                              "b": pd.Series(b_out, dtype="int64")})
 
-    from ._util import default_num_buckets
+    from ._util import default_num_buckets, physical_partitions
 
     num_buckets = default_num_buckets()
-    cands = bucketed.groupby(["table_id", "bucket"], num_partitions=min(num_buckets, 8)).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    cands = bucketed.groupby(
+        ["table_id", "bucket"], num_partitions=physical_partitions(num_buckets)
+    ).map_groups(bucket_pairs, batch_format="pandas")
 
     # verification: two-pass hash-partitioned join against the pruned
     # embeddings table (see _bucketed_attach) — pairs from different LSH

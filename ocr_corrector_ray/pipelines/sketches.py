@@ -110,15 +110,22 @@ class CountMin:
 
 
 def heavy_hitter_tokens(sf_dir: str, k: int = 20, w: int = 2048, d: int = 4,
-                        candidates_per_batch: int = 64):
+                        candidates_per_batch: int | None = None):
     """Approximate top-k tokens by count: each batch emits ONE Count-Min
     sketch plus its local top candidate tokens; the merged sketch scores
     the (small) candidate union.  The exchange carries d*w counters and a
     few candidate strings per batch — never per-token rows.  CM
-    guarantees estimate >= true count; a local heavy hitter is in some
-    batch's candidate list, so the true top-k survive (pytest bounds the
-    error and pins the winners against the exact counts)."""
+    guarantees estimate >= true count.  Candidate recall is
+    PROBABILISTIC, not guaranteed (ADVICE r2): a globally heavy token
+    spread thinly enough to miss every batch's local top list would
+    vanish — so the per-batch candidate list scales with k (8x headroom
+    by default; a token in the true top-k but below every batch's local
+    top-8k is astronomically unlikely for natural count distributions,
+    and the pytest pins the winners against exact counts at test scale)."""
     import os
+
+    if candidates_per_batch is None:
+        candidates_per_batch = max(64, 8 * k)
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
 

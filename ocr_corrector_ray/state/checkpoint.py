@@ -134,11 +134,26 @@ MANIFEST_SCHEMA = pa.schema(
         ("spans_corrected", pa.int64()),
         ("wall_s", pa.float64()),
         ("status", pa.string()),
+        # storage format the fragment was written in; read/resume paths
+        # resolve their driver from THIS, not from what happens to be
+        # importable at read time (ADVICE r2: installing lance after a
+        # parquet-era run must not make reads drop parquet partitions)
+        ("format", pa.string()),
     ]
 )
 
 
-def write_partition(batch: pa.Table, out_dir: str, num_partitions: int) -> pa.Table:
+def checkpoint_format(out_dir: str) -> Optional[str]:
+    """The storage format persisted with this checkpoint's manifest rows
+    (None for a fresh/empty checkpoint).  Pre-format manifests (older
+    runs) default to parquet — the only format this sandbox ever wrote."""
+    for row in _manifest_rows(out_dir):
+        return row.get("format") or "parquet"
+    return None
+
+
+def write_partition(batch: pa.Table, out_dir: str, num_partitions: int,
+                    fmt: Optional[str] = None) -> pa.Table:
     """Terminal STATELESS stage over reassembled (doc_id, spans) partition
     blocks: writes one parquet fragment + one manifest row per partition
     and emits the manifest row downstream.  Every row of an input batch
@@ -153,7 +168,8 @@ def write_partition(batch: pa.Table, out_dir: str, num_partitions: int) -> pa.Ta
     doc_ids = batch.column("doc_id").to_pylist()
     pid = int(stable_partition_ids(doc_ids[:1], num_partitions)[0])
 
-    driver = get_driver()
+    # resume writes must keep the format the checkpoint started in
+    driver = get_driver(fmt)
     data_path = os.path.join(_parts_dir(out_dir), f"part-{pid:05d}.{driver.extension}")
     driver.write_fragment(batch, data_path)  # atomic: data visible before manifest
 
@@ -180,6 +196,7 @@ def write_partition(batch: pa.Table, out_dir: str, num_partitions: int) -> pa.Ta
         "spans_corrected": spans_total,
         "wall_s": round(time.perf_counter() - t0, 4),
         "status": "done",
+        "format": driver.name,
     }
     mtmp = mpath + f".tmp.{os.getpid()}"
     with open(mtmp, "w") as f:
@@ -289,8 +306,11 @@ def run_checkpointed(
         if not files:
             return read_manifest(out_dir)
         # file-level pruning: completed partitions never enter the read
-        # plan — no row of theirs is read, moved, or filtered
-        ds = get_driver().read_files(files)
+        # plan — no row of theirs is read, moved, or filtered.  The
+        # reader is resolved from the format the layout was WRITTEN in,
+        # not from whatever is importable now (ADVICE r2: feeding
+        # .parquet bucket files to lance.dataset crashes).
+        ds = get_driver(layout.get("format", "parquet")).read_files(files)
     else:
         ds = ray.data.read_parquet(source)
         ds = filter_pending(ds, out_dir, num_partitions)
@@ -302,7 +322,9 @@ def run_checkpointed(
         num_partitions=num_partitions,
         concurrency=concurrency,
         per_group=functools.partial(
-            write_partition, out_dir=out_dir, num_partitions=num_partitions
+            write_partition, out_dir=out_dir, num_partitions=num_partitions,
+            # a resume keeps writing the format the checkpoint started in
+            fmt=checkpoint_format(out_dir),
         ),
     )
     manifest_ds.materialize()  # drives the whole pipeline; manifest is tiny
@@ -310,6 +332,8 @@ def run_checkpointed(
 
 
 def read_corrected(out_dir: str):
-    """Read the corrected-doc table back as a Dataset (via the storage
-    driver seam)."""
-    return get_driver().read_dir(_parts_dir(out_dir))
+    """Read the corrected-doc table back as a Dataset, via the driver the
+    checkpoint was WRITTEN with (persisted in its manifest rows) — never
+    the import-time default, which silently drops partitions of the other
+    format after a lance install (ADVICE r2)."""
+    return get_driver(checkpoint_format(out_dir)).read_dir(_parts_dir(out_dir))

@@ -80,19 +80,40 @@ class LanceDriver:  # pragma: no cover — lance is not installed in this sandbo
         return self.read_files(paths)
 
     def read_files(self, paths):
-        import lance
+        """Lazy: each fragment is opened INSIDE a read task (batch_size=1
+        path rows), never materialized on the driver — a 100-TB resume
+        must not funnel every fragment through driver memory (ADVICE r2)."""
+        import pyarrow as pa
         import ray.data
 
-        tables = [lance.dataset(p).to_table() for p in paths]
-        return ray.data.from_arrow(tables)
+        def load(batch: pa.Table) -> pa.Table:
+            import lance
+
+            tables = [lance.dataset(p).to_table() for p in batch.column("path").to_pylist()]
+            return pa.concat_tables(tables)
+
+        paths_ds = ray.data.from_arrow(pa.table({"path": pa.array(list(paths), pa.string())}))
+        return paths_ds.map_batches(load, batch_format="pyarrow", batch_size=1)
 
 
-def get_driver():
-    """Lance when importable, parquet fallback — resolved at call time so
-    installing lance flips the format without code changes."""
-    try:
-        import lance  # noqa: F401
+def get_driver(fmt: str | None = None):
+    """Resolve the storage driver.
 
-        return LanceDriver()
-    except ImportError:
-        return ParquetDriver()
+    ``fmt=None`` (fresh writes): Lance when importable, parquet fallback —
+    installing lance flips the format for NEW checkpoints without code
+    changes.  ``fmt`` given (read/resume paths): the format PERSISTED with
+    the data (manifest rows / ``_layout.json``) wins — a checkpoint
+    written as parquet must be read as parquet even after lance is
+    installed, or reads silently drop every parquet partition (ADVICE
+    r2).  Unknown formats fail loudly."""
+    if fmt is None:
+        try:
+            import lance  # noqa: F401
+
+            return LanceDriver()
+        except ImportError:
+            return ParquetDriver()
+    for cls in (ParquetDriver, LanceDriver):
+        if fmt in (cls.name, cls.extension):
+            return cls()
+    raise ValueError(f"unknown storage format {fmt!r} (expected 'parquet' or 'lance')")

@@ -273,3 +273,38 @@ def test_write_training_corpus(ray_session, tmp_path):
     back = ray.data.read_parquet(out).to_pandas()
     assert len(back) > 0
     assert {"doc_id", "source", "dup", "tokens", "masked_positions", "labels"} <= set(back.columns)
+
+
+def test_checkpoint_format_persisted_and_resolved(ray_session, tmp_path):
+    """ADVICE r2: read/resume paths must resolve the storage driver from
+    the format PERSISTED with the checkpoint, not from what is importable
+    at read time — a lance install after a parquet-era run must not make
+    reads drop the parquet partitions."""
+    from ocr_corrector_ray.state import checkpoint as ck
+    from ocr_corrector_ray.state.storage import LanceDriver, ParquetDriver, get_driver
+
+    corpus = datagen.corpus_path(50)
+    out = str(tmp_path / "fmt")
+    ck.run_checkpointed(corpus, out, num_partitions=4)
+
+    # every manifest row records the format it was written in
+    manifest = ck.read_manifest(out)
+    assert set(manifest.column("format").to_pylist()) == {"parquet"}
+    assert ck.checkpoint_format(out) == "parquet"
+
+    # explicit format resolution beats the import-time default
+    assert isinstance(get_driver("parquet"), ParquetDriver)
+    assert isinstance(get_driver("lance"), LanceDriver)
+    with pytest.raises(ValueError):
+        get_driver("bogus")
+
+    # a pre-format manifest (older run) defaults to parquet, the only
+    # format this sandbox ever wrote
+    mpath = os.path.join(out, "manifest", "part-00000.json")
+    with open(mpath) as f:
+        row = json.load(f)
+    row.pop("format")
+    with open(mpath, "w") as f:
+        json.dump(row, f)
+    assert ck.checkpoint_format(out) == "parquet"
+    assert ck.read_corrected(out).count() == 50
