@@ -376,6 +376,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
         """,
+        "tfidf_top_terms": r"""
+            WITH tk AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE trim(text) <> ''),
+            pairs AS (
+                SELECT doc_id, unnest(t) AS term, len(t) AS n_toks FROM tk),
+            tf AS (
+                SELECT doc_id, term, count(*) AS c, max(n_toks) AS n_toks
+                FROM pairs GROUP BY doc_id, term),
+            df AS (
+                SELECT term, count(*) AS df
+                FROM (SELECT DISTINCT doc_id, term FROM pairs)
+                GROUP BY term HAVING count(*) >= 2),
+            scored AS (
+                SELECT tf.doc_id, tf.term,
+                       floor((CAST(tf.c AS DOUBLE) / tf.n_toks)
+                             * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df.df)
+                             * 1000000) / 1000000 AS tfidf
+                FROM tf JOIN df USING (term))
+            SELECT doc_id, term, tfidf FROM (
+                SELECT doc_id, term, tfidf,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY tfidf DESC, term) AS rn
+                FROM scored) WHERE rn <= 3
+        """,
         "customers_without_orders": """
             SELECT c.c_custkey, c.c_name
             FROM customer c

@@ -25,6 +25,7 @@ def grouped_agg(
     keys: Sequence[str],
     aggs: Dict[str, Tuple[str, str]],
     num_partitions: int | None = None,
+    finish_fn=None,
 ):
     """``aggs``: output column -> (source column, pandas agg fn name,
     e.g. 'sum' | 'min' | 'max' | 'size').  Key columns are hashed with
@@ -36,26 +37,40 @@ def grouped_agg(
     count bounds per-partition memory and scales with the cluster; the
     exchange's PHYSICAL partition count follows ``physical_partitions``
     (aggregator-actor spawn is ~0.15 s each, pure overhead on small
-    exchanges — see _util.physical_partitions)."""
+    exchanges — see _util.physical_partitions).
+
+    ``finish_fn``: optional frame -> frame applied to each partition's
+    aggregated groups before emit — the distributed-top-k hook: every
+    group lives wholly in one hash partition, so a per-partition
+    ``sort.head(k)`` here is an EXACT global-top-k pre-filter and the
+    driver-side sort only sees ≤ P·k winner rows (VERDICT r2 item 5)."""
     from ._util import default_num_buckets, physical_partitions
 
     keys = list(keys)
     num_partitions = num_partitions or default_num_buckets()
 
-    def add_kpid(df: pd.DataFrame) -> pd.DataFrame:
+    # both shuffle edges emit metadata-stripped ARROW blocks (see
+    # _util.arrow_out): pandas-origin schemas are unhashable in the
+    # hash-shuffle aggregator's schema dedup, and empty pandas blocks
+    # lose their schema entirely (VERDICT r2 item 6)
+    from ._util import arrow_out
+
+    def add_kpid(df: pd.DataFrame):
         h = pd.util.hash_pandas_object(df[keys], index=False)
-        return df.assign(**{_KPID: (h % num_partitions).astype("int32")})
+        return arrow_out(df.assign(**{_KPID: (h % num_partitions).astype("int32")}))
 
     named = {out: pd.NamedAgg(column=src, aggfunc=fn) for out, (src, fn) in aggs.items()}
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
+    def finish(df: pd.DataFrame):
         # dropna=False: SQL GROUP BY and Ray's aggregate both keep null
         # keys; pandas' default would silently drop those groups
         g = df.drop(columns=[_KPID]).groupby(keys, as_index=False, dropna=False).agg(**named)
         for out, (_, fn) in aggs.items():
             if fn == "size":
                 g[out] = g[out].astype("int64")
-        return g
+        if finish_fn is not None:
+            g = finish_fn(g)
+        return arrow_out(g)
 
     return (
         ds.map_batches(add_kpid, batch_format="pandas")

@@ -378,13 +378,16 @@ def events_hourly(sf_dir: str):
 
     from ._agg import grouped_agg
 
+    from ._util import arrow_out
+
     agg = grouped_agg(
         ds.map_batches(bucket, batch_format="pandas"),
         ["event_type", "hour"],
         {"n_events": ("value", "size"), "sum_value": ("value", "sum")},
     )
     return agg.map_batches(
-        lambda df: df.assign(sum_value=df["sum_value"].round(4)), batch_format="pandas"
+        lambda df: arrow_out(df.assign(sum_value=df["sum_value"].round(4))),
+        batch_format="pandas",
     )
 
 
@@ -419,15 +422,17 @@ def events_sliding(sf_dir: str, window_min: int = 60, slide_min: int = 15):
 
     from ._agg import grouped_agg
 
+    from ._util import arrow_out
+
     agg = grouped_agg(
         ds.map_batches(fan_out_partial, batch_format="pandas"),
         ["event_type", "window_start"],
         {"n_events": ("n_events", "sum"), "sum_value": ("sum_value", "sum")},
     )
     return agg.map_batches(
-        lambda df: df.assign(
+        lambda df: arrow_out(df.assign(
             n_events=df["n_events"].astype("int64"), sum_value=df["sum_value"].round(4)
-        ),
+        )),
         batch_format="pandas",
     )
 
@@ -446,21 +451,25 @@ def sessionize(sf_dir: str, gap_minutes: int = 30, num_buckets: int | None = Non
     ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(bucket=(df["user_id"] % num_buckets).astype("int32"))
+    from ._util import arrow_out, physical_partitions
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(df: pd.DataFrame):
+        return arrow_out(df.assign(bucket=(df["user_id"] % num_buckets).astype("int32")))
+
+    def per_bucket(df: pd.DataFrame):
         df = df.sort_values(["user_id", "ts"])
         # a session starts at a user's first event or after a > gap lull;
         # diff() is NaT at each user's first row, so counting starts is
         # one vectorized pass over the whole bucket
         starts = df.groupby("user_id")["ts"].diff().pipe(lambda d: d.isna() | (d > gap))
         out = starts.groupby(df["user_id"]).sum().astype("int64")
-        return pd.DataFrame({"user_id": out.index.to_numpy(), "n_sessions": out.to_numpy()})
+        return arrow_out(
+            pd.DataFrame({"user_id": out.index.to_numpy(), "n_sessions": out.to_numpy()})
+        )
 
     return (
         ds.map_batches(add_bucket, batch_format="pandas")
-        .groupby("bucket", num_partitions=num_buckets)
+        .groupby("bucket", num_partitions=physical_partitions(num_buckets))
         .map_groups(per_bucket, batch_format="pandas")
     )
 
@@ -515,16 +524,19 @@ def order_revenue(sf_dir: str, num_buckets: int | None = None):
     aggregate inside the bucket (the combiner) shrinks the final shuffle
     to B rows per priority.  B scales with the cluster (a literal bucket
     count sized for a laptop starves a 256-node exchange)."""
-    from ._util import default_num_buckets
+    import pyarrow as pa
+
+    from ._util import arrow_out, default_num_buckets, physical_partitions
 
     num_buckets = num_buckets or default_num_buckets()
     orders = ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"])
     items = ray.data.read_parquet(
         _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
+    casts = {"priority": pa.string()}
 
-    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def tag_orders(df: pd.DataFrame):
+        return arrow_out(pd.DataFrame(
             {
                 "key": df["o_orderkey"],
                 "bucket": (df["o_orderkey"] % num_buckets).astype("int32"),
@@ -532,10 +544,10 @@ def order_revenue(sf_dir: str, num_buckets: int | None = None):
                 "revenue": pd.Series([float("nan")] * len(df), dtype="float64"),
                 "side": "o",
             }
-        )
+        ), null_casts=casts)
 
-    def tag_items(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def tag_items(df: pd.DataFrame):
+        return arrow_out(pd.DataFrame(
             {
                 "key": df["l_orderkey"],
                 "bucket": (df["l_orderkey"] % num_buckets).astype("int32"),
@@ -543,35 +555,36 @@ def order_revenue(sf_dir: str, num_buckets: int | None = None):
                 "revenue": df["l_extendedprice"] * (1 - df["l_discount"]),
                 "side": "l",
             }
-        )
+        ), null_casts=casts)
 
     both = orders.map_batches(tag_orders, batch_format="pandas").union(
         items.map_batches(tag_items, batch_format="pandas")
     )
 
-    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def join_bucket(df: pd.DataFrame):
         o = df[df["side"] == "o"][["key", "priority"]]
         l = df[df["side"] == "l"][["key", "revenue"]]
         merged = l.merge(o, on="key", how="inner")
         part = merged.groupby("priority", as_index=False).agg(
             revenue=("revenue", "sum"), n_items=("key", "size")
         )
-        return pd.DataFrame(
+        return arrow_out(pd.DataFrame(
             {
                 "o_orderpriority": part["priority"],
                 "revenue": part["revenue"],
                 "n_items": part["n_items"].astype("int64"),
             }
-        )
+        ), null_casts={"o_orderpriority": pa.string()})
 
-    partials = both.groupby("bucket", num_partitions=num_buckets).map_groups(
+    partials = both.groupby("bucket", num_partitions=physical_partitions(num_buckets)).map_groups(
         join_bucket, batch_format="pandas"
     )
     final = partials.groupby("o_orderpriority").aggregate(
         Sum("revenue", alias_name="revenue"), Sum("n_items", alias_name="n_items")
     )
     return final.map_batches(
-        lambda df: df.assign(revenue=df["revenue"].round(2)), batch_format="pandas"
+        lambda df: arrow_out(df.assign(revenue=df["revenue"].round(2))),
+        batch_format="pandas",
     )
 
 
@@ -581,19 +594,19 @@ def purchase_prior_click(sf_dir: str, num_buckets: int | None = None):
     the bucket groupby co-locates a user's events, and ``pd.merge_asof``
     (ts-sorted, by=user_id, strict) does the as-of matching per bucket.
     Bucket count scales with the cluster (see order_revenue)."""
-    from ._util import default_num_buckets
+    from ._util import arrow_out, default_num_buckets, physical_partitions
 
     num_buckets = num_buckets or default_num_buckets()
     ds = ray.data.read_parquet(
         _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
     )
 
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+    def bucketize(df: pd.DataFrame):
         df = df[df["event_type"].isin(["purchase", "click"])].copy()
         df["bucket"] = (df["user_id"] % num_buckets).astype("int32")
-        return df
+        return arrow_out(df)
 
-    def asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def asof_bucket(df: pd.DataFrame):
         p = df[df["event_type"] == "purchase"].sort_values("ts")
         c = df[df["event_type"] == "click"].sort_values("ts")
         merged = pd.merge_asof(
@@ -605,12 +618,12 @@ def purchase_prior_click(sf_dir: str, num_buckets: int | None = None):
             direction="backward",
             allow_exact_matches=False,
         )
-        return pd.DataFrame(
+        return arrow_out(pd.DataFrame(
             {"event_id": merged["event_id"], "prior_click_ts": merged["prior_click_ts"]}
-        )
+        ))
 
     return ds.map_batches(bucketize, batch_format="pandas").groupby(
-        "bucket", num_partitions=num_buckets
+        "bucket", num_partitions=physical_partitions(num_buckets)
     ).map_groups(asof_bucket, batch_format="pandas")
 
 
@@ -798,19 +811,21 @@ def user_running_value(sf_dir: str, num_buckets: int | None = None):
         _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
     )
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(bucket=(df["user_id"] % num_buckets).astype("int32"))
+    from ._util import arrow_out, physical_partitions
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(df: pd.DataFrame):
+        return arrow_out(df.assign(bucket=(df["user_id"] % num_buckets).astype("int32")))
+
+    def per_bucket(df: pd.DataFrame):
         df = df.sort_values(["user_id", "ts", "event_id"])
         run = df.groupby("user_id")["value"].cumsum()
-        return pd.DataFrame(
-            {"event_id": df["event_id"], "running_value": run.round(4)}
+        return arrow_out(
+            pd.DataFrame({"event_id": df["event_id"], "running_value": run.round(4)})
         )
 
     return (
         ds.map_batches(add_bucket, batch_format="pandas")
-        .groupby("bucket", num_partitions=num_buckets)
+        .groupby("bucket", num_partitions=physical_partitions(num_buckets))
         .map_groups(per_bucket, batch_format="pandas")
     )
 
@@ -840,6 +855,13 @@ def ngram_topk(sf_dir: str, n: int = 3, k: int = 20, num_buckets: int | None = N
     totals = grouped_agg(
         ds.map_batches(partial_counts, batch_format="pandas"),
         ["ngram"], {"n": ("n", "sum")},
+        # distributed top-k: each ngram's total lives wholly in its hash
+        # partition, so per-partition head(k) is an exact pre-filter and
+        # the global sort below only sees ≤ P·k rows — never the full
+        # distinct-ngram table (billions of rows at corpus scale)
+        finish_fn=lambda g: g.sort_values(
+            ["n", "ngram"], ascending=[False, True]
+        ).head(k),
     )
     return totals.sort(["n", "ngram"], descending=[True, False]).limit(k)
 
@@ -872,7 +894,9 @@ def customers_without_orders(sf_dir: str, num_buckets: int | None = None,
     parquet read (row-group pruning) and the in-batch distinct of
     o_custkey is the combiner, so the exchange carries distinct keys of
     the filtered side only, never raw order rows."""
-    from ._util import default_num_buckets
+    import pyarrow as pa
+
+    from ._util import arrow_out, default_num_buckets, physical_partitions
 
     num_buckets = num_buckets or default_num_buckets()
     cust = ray.data.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
@@ -881,38 +905,38 @@ def customers_without_orders(sf_dir: str, num_buckets: int | None = None,
         filter=(pc.field("o_orderpriority") == priority),
     )
 
-    def tag_cust(df: pd.DataFrame) -> pd.DataFrame:
+    def tag_cust(df: pd.DataFrame):
         keys = df["c_custkey"].to_numpy()
-        return pd.DataFrame(
+        return arrow_out(pd.DataFrame(
             {"key": keys, "name": df["c_name"].to_numpy(), "side": "c",
              "bucket": (keys % num_buckets).astype("int32")}
-        )
+        ), null_casts={"name": pa.string()})
 
-    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+    def tag_orders(df: pd.DataFrame):
         # .to_numpy() before building the frame: a dict-of-Series
         # constructor would ALIGN drop_duplicates' sparse index against
         # fresh range indexes (NaN keys, float64 casts — and divergent
         # block schemas split hash-shuffle groups).  Both sides emit the
         # identical non-null schema on purpose.
         keys = df["o_custkey"].drop_duplicates().to_numpy()
-        return pd.DataFrame(
+        return arrow_out(pd.DataFrame(
             {"key": keys, "name": [""] * len(keys), "side": "o",
              "bucket": (keys % num_buckets).astype("int32")}
-        )
+        ), null_casts={"name": pa.string()})
 
     both = cust.map_batches(tag_cust, batch_format="pandas").union(
         orders.map_batches(tag_orders, batch_format="pandas")
     )
 
-    def anti(df: pd.DataFrame) -> pd.DataFrame:
+    def anti(df: pd.DataFrame):
         have = set(df.loc[df["side"] == "o", "key"].tolist())
         c = df[df["side"] == "c"]
         keep = c[~c["key"].isin(have)]
-        return pd.DataFrame(
+        return arrow_out(pd.DataFrame(
             {"c_custkey": keep["key"].astype("int64"), "c_name": keep["name"]}
-        )
+        ), null_casts={"c_name": pa.string()})
 
-    return both.groupby("bucket", num_partitions=num_buckets).map_groups(
+    return both.groupby("bucket", num_partitions=physical_partitions(num_buckets)).map_groups(
         anti, batch_format="pandas"
     )
 

@@ -46,6 +46,7 @@ def _bucketed_attach(
     num_buckets: int,
     pair_fill: dict,
     dedup_cols=None,
+    val_type=None,
 ):
     """Hash-partitioned lookup join: for each pairs row, attach the
     ``src_val`` of the ``src_ds`` row whose ``src_key`` equals
@@ -63,26 +64,37 @@ def _bucketed_attach(
     ``dedup_cols`` (all copies of a pair share its bucket), and it
     happens before any payload bytes cross the next exchange."""
     pair_cols = list(pair_fill)
+    import pyarrow as pa
 
-    def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    from ._util import arrow_out
+
+    # payload columns that can be all-None in a batch (the pairs-side
+    # placeholder for out_col, and None fills from an earlier attach)
+    # must carry an explicit type or Arrow infers null there and
+    # string/binary elsewhere — divergent union schemas
+    val_type = val_type or pa.string()
+    casts = {out_col: val_type}
+    casts.update({c: val_type for c, v in pair_fill.items() if v is None})
+
+    def tag_pairs(df: pd.DataFrame):
         out = df[pair_cols].copy()
         out[out_col] = None
         out["__side"] = "p"
         key = df[key_col].astype("int64")
         out["__key"] = key
         out["__bkt"] = (key % num_buckets).astype("int32")
-        return out
+        return arrow_out(out, null_casts=casts)
 
-    def tag_src(df: pd.DataFrame) -> pd.DataFrame:
+    def tag_src(df: pd.DataFrame):
         out = pd.DataFrame({c: pd.Series([v] * len(df)) for c, v in pair_fill.items()})
         out[out_col] = df[src_val].values
         out["__side"] = "d"
         key = df[src_key].astype("int64")
         out["__key"] = key.values
         out["__bkt"] = (key % num_buckets).astype("int32").values
-        return out
+        return arrow_out(out, null_casts=casts)
 
-    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def join_bucket(df: pd.DataFrame):
         d = df[df["__side"] == "d"]
         p = df[df["__side"] == "p"]
         if dedup_cols:
@@ -90,7 +102,7 @@ def _bucketed_attach(
         lut = dict(zip(d["__key"].tolist(), d[out_col].tolist()))
         p = p.drop(columns=[out_col]).copy()
         p[out_col] = p["__key"].map(lut)
-        return p.drop(columns=["__side", "__key", "__bkt"])
+        return arrow_out(p.drop(columns=["__side", "__key", "__bkt"]), null_casts=casts)
 
     both = pairs_ds.map_batches(tag_pairs, batch_format="pandas").union(
         src_ds.map_batches(tag_src, batch_format="pandas")
@@ -223,15 +235,17 @@ def minhash_neardup_pairs(
         return pd.DataFrame({"a": pd.Series(a_out, dtype="int64"),
                              "b": pd.Series(b_out, dtype="int64")})
 
-    def add_ppid(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(ppid=(df["band_hash"] % num_buckets).astype("int32"))
+    from ._util import arrow_out
+
+    def add_ppid(df: pd.DataFrame):
+        return arrow_out(df.assign(ppid=(df["band_hash"] % num_buckets).astype("int32")))
 
     from ._util import physical_partitions
 
     cands = (
         band_rows.map_batches(add_ppid, batch_format="pandas")
         .groupby("ppid", num_partitions=physical_partitions(num_buckets))
-        .map_groups(lambda df: partition_pairs(df), batch_format="pandas")
+        .map_groups(lambda df: arrow_out(partition_pairs(df)), batch_format="pandas")
     )
     # a pair surfaced by several bands is deduped inside its first verify
     # bucket (all copies of (a, b) share bucket a % P), BEFORE any text
@@ -239,15 +253,17 @@ def minhash_neardup_pairs(
     docs = lambda: ray.data.read_parquet(  # noqa: E731 — two pruned passes
         _p(sf_dir, "documents"), columns=["doc_id", "text"]
     )
+    import pyarrow as pa
+
     with_a = _bucketed_attach(
         cands, docs(), key_col="a", src_key="doc_id", src_val="text",
         out_col="text_a", num_buckets=num_buckets,
-        pair_fill={"a": -1, "b": -1}, dedup_cols=["a", "b"],
+        pair_fill={"a": -1, "b": -1}, dedup_cols=["a", "b"], val_type=pa.string(),
     )
     with_both = _bucketed_attach(
         with_a, docs(), key_col="b", src_key="doc_id", src_val="text",
         out_col="text_b", num_buckets=num_buckets,
-        pair_fill={"a": -1, "b": -1, "text_a": None},
+        pair_fill={"a": -1, "b": -1, "text_a": None}, val_type=pa.string(),
     )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
@@ -430,11 +446,13 @@ def embedding_neardup(
             out_id.extend(ids.tolist())
             out_t.extend([t] * len(ids))
             out_b.extend(buckets.tolist())
-        return pd.DataFrame(
+        from ._util import arrow_out
+
+        return arrow_out(pd.DataFrame(
             {"vec_id": pd.Series(out_id, dtype="int64"),
              "table_id": pd.Series(out_t, dtype="int32"),
              "bucket": pd.Series(out_b, dtype="int64")}
-        )
+        ))
 
     bucketed = ds.map_batches(sketch, batch_format="pandas")
 
@@ -462,10 +480,12 @@ def embedding_neardup(
 
     from ._util import default_num_buckets, physical_partitions
 
+    from ._util import arrow_out
+
     num_buckets = default_num_buckets()
     cands = bucketed.groupby(
         ["table_id", "bucket"], num_partitions=physical_partitions(num_buckets)
-    ).map_groups(bucket_pairs, batch_format="pandas")
+    ).map_groups(lambda df: arrow_out(bucket_pairs(df)), batch_format="pandas")
 
     # verification: two-pass hash-partitioned join against the pruned
     # embeddings table (see _bucketed_attach) — pairs from different LSH
@@ -483,15 +503,17 @@ def embedding_neardup(
             })
 
         return ds.map_batches(pack, batch_format="pandas")
+    import pyarrow as pa
+
     with_a = _bucketed_attach(
         cands, embs(), key_col="a", src_key="vec_id", src_val="emb_bytes",
         out_col="emb_a", num_buckets=num_buckets,
-        pair_fill={"a": -1, "b": -1}, dedup_cols=["a", "b"],
+        pair_fill={"a": -1, "b": -1}, dedup_cols=["a", "b"], val_type=pa.binary(),
     )
     with_both = _bucketed_attach(
         with_a, embs(), key_col="b", src_key="vec_id", src_val="emb_bytes",
         out_col="emb_b", num_buckets=num_buckets,
-        pair_fill={"a": -1, "b": -1, "emb_a": None},
+        pair_fill={"a": -1, "b": -1, "emb_a": None}, val_type=pa.binary(),
     )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:

@@ -104,71 +104,154 @@ def winnowing_fingerprints(sf_dir: str, k: int = 5, window: int = 4):
     return ds.map_batches(fn, batch_format="pandas")
 
 
-def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 2):
+def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 2,
+                    num_buckets: int | None = None):
     """Per-doc top-k TF-IDF terms (doc_id, term, tfidf) — the classic
     corpus-statistics op for boilerplate/keyword analysis.
 
-    Two passes: (1) the document-frequency table as a coarse grouped
-    count over in-batch DISTINCT (doc, token) pairs — the combiner means
-    the exchange carries each doc's distinct tokens once; (2) the small
-    DF table (pruned to ``min_df``; token vocabularies are sublinear in
-    corpus size) broadcasts via ray.put and each batch scores its docs
-    locally.  idf = ln(N / df); ties broken by term for determinism."""
-    import math
+    Fully distributed (VERDICT r2 #1 — the previous version collected the
+    whole document-frequency table on the driver and broadcast a
+    whole-vocab idf dict, unbounded driver memory on a heavy-tailed
+    vocabulary).  Three bounded exchanges, none driver-sized:
 
-    import ray as _ray
+    1. DF table: coarse grouped count over in-batch DISTINCT
+       (doc, token) pairs (the combiner — each doc's distinct tokens
+       cross the exchange once).
+    2. idf attach: the (doc, token, tf) rows and the pruned DF table
+       co-bucket on ``hash64(token) % P`` (the ``_bucketed_attach``
+       pattern with a string key); each bucket resolves idf with one
+       in-bucket dict over |vocab|/P tokens and emits scored rows —
+       the DF table never leaves the workers.
+    3. per-doc top-k: rows bucket on ``doc_id % P``; one vectorized
+       sort + ``groupby(doc).head(k)`` per bucket.
 
+    tfidf = floor(tf * ln(N/df) * 1e6) / 1e6 (floor-scale, not round —
+    bit-matches the DuckDB oracle); ties broken by term."""
+    import pyarrow as pa
+
+    from ..functions.hashing import hash64_array
     from ._agg import grouped_agg
+    from ._util import default_num_buckets, physical_partitions
 
+    num_buckets = num_buckets or default_num_buckets()
+    phys = physical_partitions(num_buckets)
     ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     n_docs = ds.count()
 
-    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        doc_out, tok_out = [], []
-        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
-            for tok in set(text.split()):
-                doc_out.append(doc_id)
-                tok_out.append(tok)
-        return pd.DataFrame({"doc_id": doc_out, "token": tok_out})
+    # every kernel on a shuffle edge emits an EXPLICIT Arrow schema: an
+    # empty pandas object column infers as Arrow null and divergent block
+    # schemas can split hash-shuffle groups (round-2 lesson)
+    TAGGED = pa.schema([
+        ("doc_id", pa.int64()), ("token", pa.string()), ("c", pa.int64()),
+        ("n_toks", pa.int64()), ("df", pa.int64()), ("__side", pa.string()),
+        ("__bkt", pa.int32()),
+    ])
+    SCORED = pa.schema([
+        ("doc_id", pa.int64()), ("term", pa.string()), ("tfidf", pa.float64()),
+    ])
 
-    df_table = grouped_agg(
-        ds.map_batches(distinct_pairs, batch_format="pandas"),
-        ["token"], {"df": ("doc_id", "size")},
-    ).to_pandas()
-    df_table = df_table[df_table["df"] >= min_df]
-    idf_ref = _ray.put(
-        {t: math.log(n_docs / d) for t, d in zip(df_table["token"], df_table["df"])}
+    def doc_term_rows(df: pd.DataFrame) -> pa.Table:
+        """One row per DISTINCT (doc, token) with its in-doc count and the
+        doc's token total — the unit both downstream passes consume."""
+        doc_out, tok_out, c_out, n_out = [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+            toks = text.split()
+            if not toks:
+                continue
+            counts: dict = {}
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+            for t, c in counts.items():
+                doc_out.append(doc_id)
+                tok_out.append(t)
+                c_out.append(c)
+                n_out.append(len(toks))
+        return pa.table({
+            "doc_id": pa.array(doc_out, pa.int64()),
+            "token": pa.array(tok_out, pa.string()),
+            "c": pa.array(c_out, pa.int64()),
+            "n_toks": pa.array(n_out, pa.int64()),
+        })
+
+    def rows():  # two pruned passes, like the near-dup verify reads
+        return ds.map_batches(doc_term_rows, batch_format="pandas")
+
+    # pass 1: distributed DF table (token, df), pruned to min_df
+    from ._util import arrow_out
+
+    df_tbl = grouped_agg(
+        rows().map_batches(lambda d: d[["doc_id", "token"]], batch_format="pandas"),
+        ["token"], {"df": ("doc_id", "size")}, num_partitions=num_buckets,
+    ).map_batches(lambda d: arrow_out(d[d["df"] >= min_df]), batch_format="pandas")
+
+    def _bkt(tokens) -> np.ndarray:
+        return (hash64_array(list(tokens)) % np.uint64(num_buckets)).astype("int32")
+
+    # pass 2: co-bucket rows + DF on hash64(token) % P, score in-bucket
+    def tag_rows(d: pd.DataFrame) -> pa.Table:
+        n = len(d)
+        return pa.Table.from_arrays([
+            pa.array(d["doc_id"].to_numpy(dtype="int64")),
+            pa.array(d["token"], pa.string()),
+            pa.array(d["c"].to_numpy(dtype="int64")),
+            pa.array(d["n_toks"].to_numpy(dtype="int64")),
+            pa.array(np.full(n, -1, dtype="int64")),
+            pa.array(["r"] * n, pa.string()),
+            pa.array(_bkt(d["token"])),
+        ], schema=TAGGED)
+
+    def tag_df(d: pd.DataFrame) -> pa.Table:
+        n = len(d)
+        return pa.Table.from_arrays([
+            pa.array(np.full(n, -1, dtype="int64")),
+            pa.array(d["token"], pa.string()),
+            pa.array(np.full(n, -1, dtype="int64")),
+            pa.array(np.full(n, 1, dtype="int64")),
+            pa.array(d["df"].to_numpy(dtype="int64")),
+            pa.array(["d"] * n, pa.string()),
+            pa.array(_bkt(d["token"])),
+        ], schema=TAGGED)
+
+    both = rows().map_batches(tag_rows, batch_format="pandas").union(
+        df_tbl.map_batches(tag_df, batch_format="pandas")
     )
 
-    class Score:
-        def __init__(self, ref):
-            self.idf = _ray.get(ref)
+    def score_bucket(g: pd.DataFrame) -> pa.Table:
+        d = g[g["__side"] == "d"]
+        r = g[g["__side"] == "r"]
+        lut = dict(zip(d["token"].tolist(), d["df"].tolist()))
+        dfv = r["token"].map(lut)
+        keep = dfv.notna()
+        r = r[keep]
+        tfidf = (r["c"].to_numpy(dtype="float64") / r["n_toks"].to_numpy(dtype="float64")) \
+            * np.log(n_docs / dfv[keep].to_numpy(dtype="float64"))
+        return pa.Table.from_arrays([
+            pa.array(r["doc_id"].to_numpy(dtype="int64")),
+            pa.array(r["token"], pa.string()),
+            pa.array(np.floor(tfidf * 1e6) / 1e6),
+        ], schema=SCORED)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            doc_out, term_out, val_out = [], [], []
-            for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
-                toks = text.split()
-                if not toks:
-                    continue
-                counts: dict = {}
-                for t in toks:
-                    counts[t] = counts.get(t, 0) + 1
-                scored = sorted(
-                    (
-                        (-(c / len(toks)) * self.idf[t], t)
-                        for t, c in counts.items()
-                        if t in self.idf
-                    ),
-                )[:k]
-                for neg, t in scored:
-                    doc_out.append(doc_id)
-                    term_out.append(t)
-                    val_out.append(round(-neg, 6))
-            return pd.DataFrame({
-                "doc_id": pd.Series(doc_out, dtype="int64"),
-                "term": term_out,
-                "tfidf": pd.Series(val_out, dtype="float64"),
-            })
+    scored = both.groupby("__bkt", num_partitions=phys).map_groups(
+        score_bucket, batch_format="pandas"
+    )
 
-    return ds.map_batches(Score, fn_constructor_kwargs={"ref": idf_ref},
-                          batch_format="pandas", concurrency=2)
+    # pass 3: per-doc top-k, coarse-bucketed on doc_id (Arrow-native tag)
+    def add_dbkt(t: pa.Table) -> pa.Table:
+        dd = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column("__dbkt", pa.array((dd % num_buckets).astype("int32")))
+
+    def topk(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["doc_id", "tfidf", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        out = g.groupby("doc_id", as_index=False, sort=False).head(k)
+        return pa.Table.from_arrays([
+            pa.array(out["doc_id"].to_numpy(dtype="int64")),
+            pa.array(out["term"], pa.string()),
+            pa.array(out["tfidf"].to_numpy(dtype="float64")),
+        ], schema=SCORED)
+
+    return (
+        scored.map_batches(add_dbkt, batch_format="pyarrow")
+        .groupby("__dbkt", num_partitions=phys)
+        .map_groups(topk, batch_format="pandas")
+    )

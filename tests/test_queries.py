@@ -120,10 +120,12 @@ def test_tfidf_top_terms_matches_reference_computation(ray_session):
         counts: dict = {}
         for tok in toks:
             counts[tok] = counts.get(tok, 0) + 1
-        scored = sorted(((-(c / len(toks)) * idf[tok], tok)
+        # floor-scale at 1e6 (not round) — the operator bit-matches its
+        # DuckDB oracle; selection order uses the floored value too
+        scored = sorted(((-math.floor((c / len(toks)) * idf[tok] * 1e6) / 1e6, tok)
                          for tok, c in counts.items() if tok in idf))[:3]
         for neg, tok in scored:
-            expected.add((d, tok, round(-neg, 6)))
+            expected.add((d, tok, -neg))
     assert set(zip(got["doc_id"], got["term"], got["tfidf"])) == expected
 
 
