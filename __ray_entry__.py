@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup_pairs": dedup.minhash_neardup_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_signatures": dedup.simhash_signatures,
+        "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         "embedding_neardup": dedup.embedding_neardup,
         "neardup_survivors": dedup.neardup_survivors,
         # text analysis + sketches (rows-only)
@@ -375,6 +376,25 @@ def oracle_sql() -> dict[str, str]:
         "event_type_distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "ngram_jaccard_pairs": r"""
+            WITH tk AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE trim(text) <> ''),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                            ELSE list_distinct(list_transform(
+                                     range(1, len(t) - 1),
+                                     i -> array_to_string(t[i:i+2], ' ')))
+                       END AS s
+                FROM tk)
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   floor(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s)))
+                         * 10000) / 10000 AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id <> a.doc_id
+            WHERE a.doc_id IN (0, 1, 2, 3, 4)
         """,
         "tfidf_top_terms": r"""
             WITH tk AS (

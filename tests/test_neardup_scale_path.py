@@ -36,6 +36,34 @@ def test_embedding_neardup_matches_broadcast_golden(ray_session):
     assert got == _golden()["embedding"]
 
 
+def test_simhash_neardup_pairs_exact_vs_bruteforce(ray_session):
+    """Hamming-band candidate generation is recall-COMPLETE for
+    max_hamming <= bands - 1 (pigeonhole), so the operator's output must
+    EXACTLY equal the all-pairs popcount(xor) <= max_hamming set computed
+    here by brute force over the 500 sf0.001 signatures."""
+    import numpy as np
+
+    from ocr_corrector_ray.pipelines import dedup
+
+    sigs = dedup.simhash_signatures(SF_DIR).to_pandas().sort_values("doc_id")
+    ids = sigs["doc_id"].to_numpy(dtype="int64")
+    s = sigs["simhash"].to_numpy(dtype="int64").view(np.uint64)
+    x = s[:, None] ^ s[None, :]
+    ham = np.unpackbits(
+        x.byteswap().view(np.uint8)  # byte order irrelevant for popcount; explicit anyway
+    ).reshape(len(ids), len(ids), 64).sum(axis=2)
+    iu = np.triu_indices(len(ids), k=1)
+    expected = {
+        (int(ids[i]), int(ids[j]), int(ham[i, j]))
+        for i, j in zip(*iu)
+        if ham[i, j] <= 3
+    }
+    got = dedup.simhash_neardup_pairs(SF_DIR).to_pandas()
+    got_set = {(int(a), int(b), int(h)) for a, b, h in zip(got["a"], got["b"], got["hamming"])}
+    assert got_set == expected
+    assert expected, "test corpus should contain at least one simhash near-pair"
+
+
 def test_neardup_survivors_drop_cluster_non_representatives(ray_session):
     """Survivors = every doc minus each pair-graph component's non-min
     members — recomputed here independently from the golden pair list."""
@@ -65,6 +93,18 @@ def test_neardup_survivors_drop_cluster_non_representatives(ray_session):
     )
     assert surv == all_ids - drops
     assert drops and drops < all_ids  # the clusters actually dropped someone
+
+
+def test_labelprop_survivors_identical_to_unionfind(ray_session):
+    """The distributed min-label-propagation variant (the pathological-
+    pair-volume escape hatch) must produce EXACTLY the union-find
+    survivors."""
+    from ocr_corrector_ray.pipelines import dedup
+
+    uf = set(dedup.neardup_survivors(SF_DIR).to_pandas()["doc_id"])
+    lp = set(dedup.neardup_survivors(SF_DIR, method="labelprop").to_pandas()["doc_id"])
+    assert lp == uf
+    assert uf  # non-trivial corpus
 
 
 def test_no_driver_side_broadcast_left_in_dedup():
