@@ -189,14 +189,16 @@ def corrected_dataset(
             # reassembly.
             import pyarrow as pa
 
-            seed = pa.table({
+            from ..stages.reassemble import encode_exchange
+
+            seed = encode_exchange(pa.table({
                 "doc_id": pa.array([_HYBRID_SEED], pa.string()),
                 "kind": pa.array(["text"], pa.string()),
                 "text": pa.array([""], pa.string()),
                 "media_ref": pa.array([""], pa.string()),
                 "offset": pa.array([0], pa.int32()),
                 "pid": pa.array([0], pa.int32()),
-            })
+            }))
             spans = spans.union(ray.data.from_arrow(seed))
         out = reassemble(spans, n_parts, per_group=per_group, has_pid=True)
         if seed_schema:

@@ -262,7 +262,12 @@ def span_corrector_task(batch: pa.Table, cfg=None, side=None, num_partitions=Non
         if drop:
             out = out.drop_columns(drop)
         if num_partitions is not None and "pid" not in out.column_names:
+            from .reassemble import encode_exchange
+
             out = out.append_column("pid", pa.array([], pa.int32()))
+            # match the non-empty path's dictionary-encoded exchange
+            # schema, or the shuffle sees two schemas on one edge
+            out = encode_exchange(out)
         return out
     key = (
         getattr(side, "hex", lambda: str(id(side)))(),

@@ -30,9 +30,48 @@ def stable_partition_ids(doc_ids, num_partitions: int) -> np.ndarray:
     return (pd.util.hash_array(arr, categorize=False) % num_partitions).astype(np.int32)
 
 
+# String columns dictionary-encoded across the reassembly exchange.
+# ``doc_id`` repeats once per span (~10x), ``kind`` has 4 distinct values
+# and ``media_ref`` is "" for every non-media span — as dictionaries they
+# ship as int32 indices + one small per-block dictionary instead of raw
+# offsets+bytes per row, shrinking the one all-to-all exchange the
+# pipeline has (the scaling bottleneck is object-store memcpy bandwidth,
+# so exchange bytes buy scaling efficiency directly).  ``text`` is the
+# corrected payload (near-unique) and stays raw.
+EXCHANGE_DICT_COLS = ("doc_id", "kind", "media_ref")
+
+
+def encode_exchange(batch: pa.Table) -> pa.Table:
+    """Dictionary-encode the repetitive string columns before the shuffle.
+    Idempotent; applied to EVERY producer feeding the exchange (corrector
+    actors, the task-pool tail, the hybrid sentinel row) so all RefBundles
+    crossing it carry one identical schema."""
+    for name in EXCHANGE_DICT_COLS:
+        i = batch.schema.get_field_index(name)
+        if i < 0:
+            continue
+        col = batch.column(name)
+        if not pa.types.is_dictionary(col.type):
+            batch = batch.set_column(
+                i, name, pc.dictionary_encode(col.combine_chunks())
+            )
+    return batch
+
+
+def decode_exchange(part: pa.Table) -> pa.Table:
+    """Inverse of ``encode_exchange`` after the shuffle (no-op on plain
+    string columns, so the fused no-shuffle plan shares the kernel)."""
+    for name in EXCHANGE_DICT_COLS:
+        i = part.schema.get_field_index(name)
+        if i >= 0 and pa.types.is_dictionary(part.schema.field(i).type):
+            part = part.set_column(i, name, part.column(name).cast(pa.string()))
+    return part
+
+
 def add_partition_column(batch: pa.Table, num_partitions: int) -> pa.Table:
     pids = stable_partition_ids(batch.column("doc_id").to_pylist(), num_partitions)
-    return batch.append_column("pid", pa.array(pids, pa.int32()))
+    batch = batch.append_column("pid", pa.array(pids, pa.int32()))
+    return encode_exchange(batch)
 
 
 def reassemble_partition(part: pa.Table) -> pa.Table:
@@ -40,7 +79,7 @@ def reassemble_partition(part: pa.Table) -> pa.Table:
     spans sorted by offset within each doc."""
     if part.num_rows == 0:
         return pa.table({"doc_id": pa.array([], pa.string()), "spans": pa.array([], pa.list_(SPAN_TYPE))})
-    part = part.combine_chunks()
+    part = decode_exchange(part).combine_chunks()
     idx = pc.sort_indices(
         part, sort_keys=[("doc_id", "ascending"), ("offset", "ascending")]
     )
