@@ -421,6 +421,66 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY tfidf DESC, term) AS rn
                 FROM scored) WHERE rn <= 3
         """,
+        "winnowing_fingerprints": """
+            WITH g AS (
+                SELECT doc_id, coalesce(text, '') AS txt,
+                       unnest(generate_series(1, len(coalesce(text, '')) - 4)) AS pos
+                FROM documents),
+            h AS (
+                SELECT doc_id, pos,
+                       CAST(md5_number_lower(substr(txt, pos, 5)) >> 1 AS BIGINT) AS h
+                FROM g),
+            w AS (
+                SELECT doc_id, pos, h,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wm,
+                       count(*) OVER (PARTITION BY doc_id) AS n_grams
+                FROM h),
+            sel AS (
+                SELECT doc_id, wm FROM w WHERE n_grams > 4 AND pos >= 4
+                UNION ALL
+                SELECT doc_id, min(h) AS wm FROM w WHERE n_grams <= 4 GROUP BY doc_id),
+            agg AS (
+                SELECT doc_id, count(DISTINCT wm) AS n_fingerprints,
+                       min(wm) AS min_fingerprint
+                FROM sel GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.n_fingerprints, 0) AS n_fingerprints,
+                   coalesce(a.min_fingerprint, 0) AS min_fingerprint
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "lang_id_ngram": """
+            WITH l AS (
+                SELECT doc_id,
+                       regexp_replace(lower(coalesce(text, '')), '[^a-z]', '', 'g') AS ltr
+                FROM documents),
+            bg AS (
+                SELECT doc_id, ltr, unnest(generate_series(1, len(ltr) - 1)) AS pos
+                FROM l),
+            b2 AS (SELECT doc_id, substr(ltr, pos, 2) AS b FROM bg),
+            prof(lang, b, w) AS (VALUES
+                ('en','th',10),('en','he',9),('en','in',8),('en','er',7),('en','an',6),
+                ('en','re',5),('en','on',4),('en','at',3),('en','en',2),('en','nd',1),
+                ('es','de',10),('es','en',9),('es','os',8),('es','es',7),('es','la',6),
+                ('es','ar',5),('es','el',4),('es','ue',3),('es','ra',2),('es','as',1),
+                ('de','en',10),('de','er',9),('de','ch',8),('de','de',7),('de','ei',6),
+                ('de','te',5),('de','in',4),('de','nd',3),('de','ie',2),('de','ge',1),
+                ('fr','es',10),('fr','le',9),('fr','de',8),('fr','en',7),('fr','re',6),
+                ('fr','nt',5),('fr','on',4),('fr','ou',3),('fr','ai',2),('fr','it',1)),
+            sc AS (
+                SELECT b2.doc_id, prof.lang, sum(prof.w) AS s
+                FROM b2 JOIN prof USING (b) GROUP BY 1, 2),
+            best AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY s DESC, lang) AS rn
+                FROM sc)
+            SELECT l.doc_id,
+                   CASE WHEN len(l.ltr) < 4 THEN 'und'
+                        ELSE coalesce(b.lang, 'und') END AS lang_pred
+            FROM l LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b
+              USING (doc_id)
+        """,
         "customers_without_orders": """
             SELECT c.c_custkey, c.c_name
             FROM customer c

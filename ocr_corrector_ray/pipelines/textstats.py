@@ -1,6 +1,6 @@
-"""Text-analysis operators (rows-only checks): n-gram language ID and
-winnowing document fingerprints.  The SQL-expressible text stats live in
-analytics.py."""
+"""Text-analysis operators: n-gram language ID and winnowing document
+fingerprints (both DuckDB-oracle-checked since round 3).  The simpler
+SQL-expressible text stats live in analytics.py."""
 
 from __future__ import annotations
 
@@ -29,16 +29,27 @@ def _p(sf_dir: str, name: str) -> str:
 def lang_id_ngram(sf_dir: str):
     """doc_id, lang_pred: cosine of the doc's letter-bigram frequency
     vector against each profile; 'und' for CJK/empty docs.  A heuristic
-    n-gram language identifier (rows-only oracle)."""
+    n-gram language identifier.
+
+    All profile rows share one L2 norm (10 distinct bigrams, weights
+    10..1), so the argmax over normalized cosine equals the argmax over
+    the INTEGER scores sum(count_bigram * weight) — which is what the
+    DuckDB oracle computes (ties break to the first language in sorted
+    order, matching np.argmax's first-max rule)."""
     ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     langs = sorted(_PROFILES)
     vocab = sorted({b for prof in _PROFILES.values() for b in prof})
     v_index = {b: i for i, b in enumerate(vocab)}
-    P = np.zeros((len(langs), len(vocab)))
+    # INTEGER profile matrix: every profile has 10 distinct bigrams with
+    # weights 10..1, so all rows share one L2 norm and the cosine argmax
+    # equals the integer-score argmax sum(count_bigram * weight).  Exact
+    # integer scoring keeps ties deterministic (first language in sorted
+    # order, = np.argmax's first-max rule) and bit-matches the DuckDB
+    # oracle — a float dot product breaks integer ties by rounding noise.
+    P = np.zeros((len(langs), len(vocab)), dtype=np.int64)
     for li, lang in enumerate(langs):
         for rank, bg in enumerate(_PROFILES[lang]):
             P[li, v_index[bg]] = len(_PROFILES[lang]) - rank
-    P = P / np.linalg.norm(P, axis=1, keepdims=True)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         preds = []
@@ -47,16 +58,15 @@ def lang_id_ngram(sf_dir: str):
             if len(letters) < 4:
                 preds.append("und")
                 continue
-            v = np.zeros(len(vocab))
+            v = np.zeros(len(vocab), dtype=np.int64)
             for i in range(len(letters) - 1):
                 j = v_index.get(letters[i : i + 2])
                 if j is not None:
                     v[j] += 1
-            norm = np.linalg.norm(v)
-            if norm == 0:
+            if not v.any():
                 preds.append("und")
                 continue
-            sims = P @ (v / norm)
+            sims = P @ v
             preds.append(langs[int(np.argmax(sims))])
         return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": preds})
 
@@ -77,10 +87,13 @@ def winnowing_fingerprints(sf_dir: str, k: int = 5, window: int = 4):
                 min_out.append(0)
                 continue
             grams = [text[i : i + k] for i in range(len(text) - k + 1)]
+            # gram hash = DuckDB's md5_number_lower (little-endian low 8
+            # bytes of md5) >> 1 — SQL-computable, so the operator has a
+            # full DuckDB oracle instead of a rows-only check
             hs = np.asarray(
                 [
                     int.from_bytes(
-                        hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(), "big"
+                        hashlib.md5(g.encode("utf-8")).digest()[8:16], "little"
                     ) >> 1
                     for g in grams
                 ],
