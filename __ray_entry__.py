@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_topk": analytics.ngram_topk,
         "event_type_distinct_users": analytics.event_type_distinct_users,
         "customers_without_orders": analytics.customers_without_orders,
+        "customers_with_orders": analytics.customers_with_orders,
         "top_customers": analytics.top_customers,
         "order_revenue": analytics.order_revenue,
         "purchase_prior_click": analytics.purchase_prior_click,
@@ -218,6 +219,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_ngram": textstats.lang_id_ngram,
         "winnowing_fingerprints": textstats.winnowing_fingerprints,
         "tfidf_top_terms": textstats.tfidf_top_terms,
+        "doc_token_entropy": textstats.doc_token_entropy,
+        "dup_ngram_ratio": textstats.dup_ngram_ratio,
+        "pack_sequences": textstats.pack_sequences,
         "approx_distinct_tokens": _approx_distinct_tokens,
         "heavy_hitter_tokens": _heavy_hitter_tokens,
     }
@@ -486,6 +490,64 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c
             ANTI JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
               ON o.o_custkey = c.c_custkey
+        """,
+        "customers_with_orders": """
+            SELECT c.c_custkey, c.c_name
+            FROM customer c
+            SEMI JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+              ON o.o_custkey = c.c_custkey
+        """,
+        "doc_token_entropy": r"""
+            WITH tk AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            p AS (SELECT doc_id, unnest(t) AS tok, len(t) AS n FROM tk),
+            c AS (SELECT doc_id, tok, max(n) AS n, count(*) AS c
+                  FROM p GROUP BY doc_id, tok),
+            e AS (SELECT doc_id, max(n) AS n_tokens,
+                         floor((log2(CAST(max(n) AS DOUBLE))
+                                - sum(c * log2(CAST(c AS DOUBLE))) / max(n))
+                               * 10000) / 10000 AS entropy
+                  FROM c GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(e.n_tokens, 0) AS n_tokens,
+                   coalesce(e.entropy, 0.0) AS entropy
+            FROM documents d LEFT JOIN e USING (doc_id)
+        """,
+        "dup_ngram_ratio": r"""
+            WITH tk AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            g AS (
+                SELECT doc_id, len(t) - 2 AS total,
+                       len(list_distinct(list_transform(
+                           range(1, len(t) - 1),
+                           i -> array_to_string(t[i:i+2], ' ')))) AS dist
+                FROM tk WHERE len(t) >= 3)
+            SELECT d.doc_id,
+                   coalesce(g.total, 0) AS n_ngrams,
+                   coalesce(floor((1.0 - CAST(g.dist AS DOUBLE) / g.total)
+                                  * 10000) / 10000, 0.0) AS dup_ratio
+            FROM documents d LEFT JOIN g USING (doc_id)
+        """,
+        "pack_sequences": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                         AS n_tokens,
+                       CAST(doc_id % 8 AS INT) AS bucket
+                FROM documents),
+            c AS (
+                SELECT doc_id, bucket, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                                PARTITION BY bucket ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) AS BIGINT) AS tok_start
+                FROM t)
+            SELECT doc_id, bucket, n_tokens, tok_start,
+                   tok_start // 256 AS seq_in_bucket
+            FROM c
         """,
         "top_customers": """
             SELECT t.c_custkey, c.c_name, t.total_price

@@ -894,6 +894,20 @@ def customers_without_orders(sf_dir: str, num_buckets: int | None = None,
     parquet read (row-group pruning) and the in-batch distinct of
     o_custkey is the combiner, so the exchange carries distinct keys of
     the filtered side only, never raw order rows."""
+    return _customer_order_membership(sf_dir, num_buckets, priority, keep_present=False)
+
+
+def customers_with_orders(sf_dir: str, num_buckets: int | None = None,
+                          priority: str = "1-URGENT"):
+    """Semi-join: customers that placed AT LEAST ONE order of the given
+    priority — the dual of ``customers_without_orders`` and the same
+    bucketed key-membership exchange (completing the join family:
+    inner / broadcast / as-of / anti / semi)."""
+    return _customer_order_membership(sf_dir, num_buckets, priority, keep_present=True)
+
+
+def _customer_order_membership(sf_dir: str, num_buckets: int | None,
+                               priority: str, keep_present: bool):
     import pyarrow as pa
 
     from ._util import arrow_out, default_num_buckets, physical_partitions
@@ -928,16 +942,17 @@ def customers_without_orders(sf_dir: str, num_buckets: int | None = None,
         orders.map_batches(tag_orders, batch_format="pandas")
     )
 
-    def anti(df: pd.DataFrame):
+    def membership(df: pd.DataFrame):
         have = set(df.loc[df["side"] == "o", "key"].tolist())
         c = df[df["side"] == "c"]
-        keep = c[~c["key"].isin(have)]
+        mask = c["key"].isin(have)
+        keep = c[mask if keep_present else ~mask]
         return arrow_out(pd.DataFrame(
             {"c_custkey": keep["key"].astype("int64"), "c_name": keep["name"]}
         ), null_casts={"c_name": pa.string()})
 
     return both.groupby("bucket", num_partitions=physical_partitions(num_buckets)).map_groups(
-        anti, batch_format="pandas"
+        membership, batch_format="pandas"
     )
 
 

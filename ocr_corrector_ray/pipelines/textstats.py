@@ -117,6 +117,117 @@ def winnowing_fingerprints(sf_dir: str, k: int = 5, window: int = 4):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def doc_token_entropy(sf_dir: str):
+    """doc_id, n_tokens, entropy: Shannon entropy (bits) of each doc's
+    unigram distribution — the classic repetition/diversity quality
+    signal for corpus filtering.  entropy = log2(n) - sum(c*log2(c))/n
+    over in-doc token counts c, floor-scaled to 1e4 to bit-match the
+    DuckDB oracle (same derivation, per the repo's floor-scale rule)."""
+    import math
+    from collections import Counter
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        nt, ent = [], []
+        for text in df["text"].fillna(""):
+            toks = text.split()
+            n = len(toks)
+            if n == 0:
+                nt.append(0)
+                ent.append(0.0)
+                continue
+            counts = np.asarray(list(Counter(toks).values()), dtype=np.float64)
+            h = math.log2(n) - float((counts * np.log2(counts)).sum()) / n
+            nt.append(n)
+            ent.append(math.floor(h * 10000) / 10000)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_tokens": pd.Series(nt, dtype="int64"),
+            "entropy": pd.Series(ent, dtype="float64"),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def dup_ngram_ratio(sf_dir: str, n: int = 3):
+    """doc_id, n_ngrams, dup_ratio: fraction of repeated token n-grams
+    per document — the standard boilerplate/repetition filter in LLM
+    data pipelines (e.g. Gopher/C4-style repetition rules).  Ratio is
+    integer-derived (1 - distinct/total, floor-scaled to 1e4), so it
+    bit-matches the DuckDB oracle; docs with < n tokens emit 0/0.0."""
+    import math
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        total_out, ratio_out = [], []
+        for text in df["text"].fillna(""):
+            toks = text.split()
+            total = len(toks) - n + 1
+            if total <= 0:
+                total_out.append(0)
+                ratio_out.append(0.0)
+                continue
+            grams = {" ".join(toks[i : i + n]) for i in range(total)}
+            ratio = 1.0 - len(grams) / total
+            total_out.append(total)
+            ratio_out.append(math.floor(ratio * 10000) / 10000)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_ngrams": pd.Series(total_out, dtype="int64"),
+            "dup_ratio": pd.Series(ratio_out, dtype="float64"),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def pack_sequences(sf_dir: str, budget: int = 256, num_buckets: int = 8):
+    """Concat-and-chunk sequence packing (the GPT-style pretraining
+    layout): documents stream in doc_id order inside ``doc_id %
+    num_buckets`` buckets; each doc's tokens land at cumulative offset
+    ``tok_start`` in its bucket's token stream and the training sequence
+    it starts in is ``tok_start // budget``.
+
+    Buckets are the scale unit: packing needs a sequential prefix-sum
+    per stream, so the stream count — not the corpus size — bounds
+    parallelism; at 100 TB you raise ``num_buckets`` to O(cluster) and
+    each bucket's cumsum stays one vectorized kernel.  ``num_buckets``
+    is part of the operator's CONTRACT (it defines which docs share a
+    sequence), so it is a fixed default, not a cluster-derived one —
+    the same input gives the same packing on any cluster."""
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def count_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype="int64")
+        nt = np.asarray([len(t.split()) for t in df["text"].fillna("")], dtype="int64")
+        return pd.DataFrame({
+            "doc_id": ids,
+            "bucket": (ids % num_buckets).astype("int32"),
+            "n_tokens": nt,
+        })
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        n = g["n_tokens"].to_numpy(dtype="int64")
+        tok_start = np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(dtype="int64"),
+            "bucket": g["bucket"].to_numpy(dtype="int32"),
+            "n_tokens": n,
+            "tok_start": tok_start,
+            "seq_in_bucket": tok_start // budget,
+        })
+
+    from ._util import physical_partitions
+
+    return (
+        ds.map_batches(count_tokens, batch_format="pandas")
+        .groupby("bucket", num_partitions=physical_partitions(num_buckets))
+        .map_groups(pack, batch_format="pandas")
+    )
+
+
 def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 2,
                     num_buckets: int | None = None):
     """Per-doc top-k TF-IDF terms (doc_id, term, tfidf) — the classic
