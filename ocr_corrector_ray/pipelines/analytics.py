@@ -105,12 +105,16 @@ def lang_script(sf_dir: str):
     ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["text"])
 
     def fn(batch: pa.Table) -> pa.Table:
+        # in-batch combiner: ≤2 partial rows per block cross the exchange
         has_cjk = pc.match_substring_regex(batch.column("text"), "[一-龥]")
         script = pc.if_else(has_cjk, "cjk", "latin")
-        return pa.table({"script": script})
+        g = pa.table({"script": script}).group_by("script").aggregate(
+            [("script", "count")]
+        )
+        return g.rename_columns(["script", "n_docs"])
 
     return ds.map_batches(fn, batch_format="pyarrow").groupby("script").aggregate(
-        Count(alias_name="n_docs")
+        Sum("n_docs", alias_name="n_docs")
     )
 
 
@@ -486,19 +490,31 @@ def pricing_summary(sf_dir: str):
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def derive(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
+        """In-batch combiner: vectorized derived column + Arrow grouped
+        partial sums, so ≤ |groups| rows per block reach the exchange
+        instead of every lineitem row (6 groups here; the final groupby
+        merges block partials)."""
         disc = pc.multiply(
             batch.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), batch.column("l_discount"))
         )
-        return batch.append_column("disc_price", disc)
+        batch = batch.append_column("disc_price", disc)
+        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_quantity", "count")]
+        )
+        return g.rename_columns([
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "count_order",
+        ])
 
-    agg = ds.map_batches(derive, batch_format="pyarrow").groupby(
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
         ["l_returnflag", "l_linestatus"]
     ).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Sum("disc_price", alias_name="sum_disc_price"),
-        Count(alias_name="count_order"),
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"),
     )
 
     # averages derived from the aggregated sums (same expression as the
