@@ -491,6 +491,54 @@ def oracle_sql() -> dict[str, str]:
             ANTI JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
               ON o.o_custkey = c.c_custkey
         """,
+        "simhash_signatures": r"""
+            WITH tok AS (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            h AS (SELECT doc_id, md5_number_lower(tok) AS h FROM tok),
+            bits AS (
+                SELECT doc_id, bb.b,
+                       sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM h, (SELECT unnest(generate_series(0, 63)) AS b) bb
+                GROUP BY doc_id, bb.b),
+            sig AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN v > 0 THEN
+                                  CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                                       ELSE (CAST(1 AS BIGINT) << b) END
+                                ELSE 0 END) AS BIGINT) AS simhash
+                FROM bits GROUP BY doc_id)
+            SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN sig s USING (doc_id)
+        """,
+        "simhash_neardup_pairs": r"""
+            WITH tok AS (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            h AS (SELECT doc_id, md5_number_lower(tok) AS h FROM tok),
+            bits AS (
+                SELECT doc_id, bb.b,
+                       sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM h, (SELECT unnest(generate_series(0, 63)) AS b) bb
+                GROUP BY doc_id, bb.b),
+            sig0 AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN v > 0 THEN
+                                  CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                                       ELSE (CAST(1 AS BIGINT) << b) END
+                                ELSE 0 END) AS BIGINT) AS simhash
+                FROM bits GROUP BY doc_id),
+            sig AS (
+                SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
+                FROM documents d LEFT JOIN sig0 s USING (doc_id))
+            -- hamming-band candidate generation is recall-COMPLETE for
+            -- max_hamming <= bands-1 (pigeonhole), so the operator's
+            -- output equals the plain all-pairs hamming filter
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
         "customers_with_orders": """
             SELECT c.c_custkey, c.c_name
             FROM customer c

@@ -3,7 +3,7 @@
 The scale pattern for distinct-counting: each batch emits ONE serialized
 sketch (here HyperLogLog, Flajolet et al. 2007), a tiny merge stage ORs
 the registers, and the cardinality estimate comes from the merged sketch
-— no shuffle ever sees individual keys.  Deterministic (blake2b item
+— no shuffle ever sees individual keys.  Deterministic (md5 item
 hashes, no process-dependent state).
 """
 
@@ -72,7 +72,7 @@ class CountMin:
     ``w`` counters; an item's estimate is the MIN over its row counters
     (always >= the true count).  Merge = elementwise sum — the property
     that makes it a one-pass distributed aggregate.  Deterministic: row
-    seeds derive from the row index via the same blake2b hashing as the
+    seeds derive from the row index via the same md5 item hashing as the
     rest of the engine."""
 
     def __init__(self, w: int = 2048, d: int = 4, table: np.ndarray | None = None):

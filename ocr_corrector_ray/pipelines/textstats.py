@@ -4,13 +4,14 @@ SQL-expressible text stats live in analytics.py."""
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np
 import pandas as pd
 
 import ray.data
+
+from ..functions.hashing import hash64_array
 
 # tiny built-in letter-bigram profiles (synthetic but deterministic):
 # rank lists of the most characteristic bigrams per language.
@@ -87,18 +88,10 @@ def winnowing_fingerprints(sf_dir: str, k: int = 5, window: int = 4):
                 min_out.append(0)
                 continue
             grams = [text[i : i + k] for i in range(len(text) - k + 1)]
-            # gram hash = DuckDB's md5_number_lower (little-endian low 8
-            # bytes of md5) >> 1 — SQL-computable, so the operator has a
-            # full DuckDB oracle instead of a rows-only check
-            hs = np.asarray(
-                [
-                    int.from_bytes(
-                        hashlib.md5(g.encode("utf-8")).digest()[8:16], "little"
-                    ) >> 1
-                    for g in grams
-                ],
-                dtype=np.int64,
-            )
+            # gram hash = shared md5 item hash (== DuckDB's
+            # md5_number_lower) >> 1 to fit int64 — SQL-computable, so
+            # the operator has a full DuckDB oracle
+            hs = (hash64_array(grams) >> np.uint64(1)).astype(np.int64)
             if len(hs) <= window:
                 sel = {int(hs.min())}
             else:
