@@ -198,3 +198,19 @@ def test_weighted_similarity(resources):
     assert cm.similarity("宋", "未") == pytest.approx(cm.shape_similarity("宋", "未"))
     assert cm.similarity("宋", "未", weights=(0, 0, 1.0)) == 1.0
     assert cm.similarity("宋", datagen.EXCLUDED_CHAR) == 0.0
+
+
+# --- shared item hash ---------------------------------------------------------
+def test_hash64_equals_duckdb_md5_number_lower():
+    """Tripwire: the shared 64-bit item hash IS DuckDB's
+    md5_number_lower — the equivalence every SQL oracle built on it
+    (simhash, winnowing) depends on."""
+    import duckdb
+
+    from ocr_corrector_ray.functions.hashing import hash64
+
+    vals = ["", "abc", "token", "带中文的词", "a b c"]
+    rows = duckdb.sql(
+        "SELECT md5_number_lower(v) FROM (SELECT unnest(?) AS v)", params=[vals]
+    ).fetchall()
+    assert [r[0] for r in rows] == [hash64(v) for v in vals]
