@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "ann_topk",
     "pricing_summary",
     "events_hourly",
+    "tfidf_top_terms",
+    "simhash_neardup_pairs",
 ]
 HEADLINE = "ocr_correct"
 
