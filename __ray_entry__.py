@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         "embedding_neardup": dedup.embedding_neardup,
         "neardup_survivors": dedup.neardup_survivors,
+        "neardup_survivors_simhash": lambda sf: dedup.neardup_survivors(sf, source="simhash"),
         # text analysis + sketches (rows-only)
         "lang_id_ngram": textstats.lang_id_ngram,
         "winnowing_fingerprints": textstats.winnowing_fingerprints,
@@ -228,6 +229,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    """DuckDB equivalents for every HONESTLY SQL-expressible query.
+
+    The remaining rows-only entries, and why each has no oracle:
+    - ``ocr_correct`` / ``_hybrid`` / ``_fused`` / ``_scorer`` /
+      ``ocr_extract`` and the training tooling (``correction_pairs``,
+      ``confusion_counts``, ``mask_probabilities``,
+      ``training_instances``): run over the driver-synthesized corpus
+      (not one of the pre-registered views), and the correction /
+      extraction kernels use backreference regexes + BK-tree /
+      char-similarity lookups outside RE2/SQL.  Exactness is pinned
+      against the serial oracle implementation in tests/ instead.
+    - ``minhash_signatures`` / ``minhash_neardup_pairs`` /
+      ``neardup_survivors*``: the (a*x+b) permutation min wraps in
+      uint64 (datasketch-style) — no SQL 128-bit unsigned multiply; the
+      pair set depends on those signatures.  Banding+verify is pinned
+      against a serial independent recomputation
+      (tests/goldens, scripts/regen_neardup_golden.py).
+    - ``embedding_neardup``: LSH recall < 1 by design, so no exact SQL
+      predicate reproduces its candidate set (the exact superset IS
+      SQL-able, but asserting equality against it would be wrong).
+    - ``ivf_ann_topk`` (approximate, recall-bound-tested),
+      ``kmeans_embeddings`` (iterative), ``approx_distinct_tokens`` /
+      ``heavy_hitter_tokens`` (sketches — estimates are
+      tolerance-tested, winners pinned vs exact in tests/),
+      ``media_features`` (binary payload featurizer).
+    """
     toks = r"regexp_split_to_array(trim(text), '\s+')"
     n_tokens = rf"CASE WHEN trim(text) = '' THEN 0 ELSE len({toks}) END"
     n_stop = rf"CASE WHEN trim(text) = '' THEN 0 ELSE len(list_filter({toks}, x -> x IN {_STOP_SQL})) END"

@@ -418,11 +418,25 @@ def _labelprop_drops(pairs, num_buckets: int, max_iters: int = 64):
     return labels.filter(lambda r: r["node"] != r["label"])
 
 
+def _neardup_pair_source(source: str, sf_dir: str, threshold: float):
+    """Pair generator + id table/column for each near-dup family member —
+    survivors work over ANY verified pair graph."""
+    if source == "minhash":
+        return minhash_neardup_pairs(sf_dir, threshold=threshold), "documents", "doc_id"
+    if source == "simhash":
+        return simhash_neardup_pairs(sf_dir), "documents", "doc_id"
+    if source == "embedding":
+        return embedding_neardup(sf_dir), "embeddings", "vec_id"
+    raise ValueError(f"unknown near-dup source {source!r}")
+
+
 def neardup_survivors(sf_dir: str, threshold: float = 0.5,
-                      method: str = "unionfind", num_buckets: int | None = None):
-    """Fuzzy-dedup END product: one surviving doc_id per near-duplicate
-    CLUSTER (connected components over the verified MinHash pair graph;
-    min doc_id represents the cluster), plus every unpaired doc.
+                      method: str = "unionfind", num_buckets: int | None = None,
+                      source: str = "minhash"):
+    """Fuzzy-dedup END product: one surviving id per near-duplicate
+    CLUSTER (connected components over the verified pair graph of the
+    chosen ``source`` — minhash / simhash / embedding; min id represents
+    the cluster), plus every unpaired doc.
 
     The pair graph is output-sized (near-dups are rare by construction),
     so with the default ``method="unionfind"`` components run as
@@ -432,25 +446,24 @@ def neardup_survivors(sf_dir: str, threshold: float = 0.5,
     runs distributed min-label propagation instead (``_labelprop_drops``)
     for pathological pair volumes at 10^12 docs; both methods produce
     identical survivors (pinned in tests/test_neardup_scale_path.py)."""
+    pairs_ds, id_table, id_col = _neardup_pair_source(source, sf_dir, threshold)
     if method == "labelprop":
         from ._util import default_num_buckets
 
         nb = num_buckets or default_num_buckets()
-        drops_ds = _labelprop_drops(
-            minhash_neardup_pairs(sf_dir, threshold=threshold).materialize(), nb
-        )
+        drops_ds = _labelprop_drops(pairs_ds.materialize(), nb)
         # the drop set is non-survivors only — output-sized, safe to collect
         drop = set(drops_ds.to_pandas()["node"].tolist())
         drop_ref = ray.put(drop)
-        ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id"])
+        ds = ray.data.read_parquet(_p(sf_dir, id_table), columns=[id_col])
 
         def keep_lp(df: pd.DataFrame) -> pd.DataFrame:
             d = ray.get(drop_ref)
-            return df[~df["doc_id"].isin(d)]
+            return df[~df[id_col].isin(d)]
 
         return ds.map_batches(keep_lp, batch_format="pandas")
 
-    pairs = minhash_neardup_pairs(sf_dir, threshold=threshold).to_pandas()
+    pairs = pairs_ds.to_pandas()
 
     parent: dict = {}
 
@@ -470,11 +483,11 @@ def neardup_survivors(sf_dir: str, threshold: float = 0.5,
     drop = {x for x in parent if find(x) != x}
     drop_ref = ray.put(drop)
 
-    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id"])
+    ds = ray.data.read_parquet(_p(sf_dir, id_table), columns=[id_col])
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         d = ray.get(drop_ref)
-        return df[~df["doc_id"].isin(d)]
+        return df[~df[id_col].isin(d)]
 
     return ds.map_batches(keep, batch_format="pandas")
 

@@ -119,3 +119,33 @@ def test_no_driver_side_broadcast_left_in_dedup():
     # every pq.read_table call carries a filters= pushdown
     for chunk in src.split("pq.read_table(")[1:]:
         assert "filters=" in chunk[:200], "un-pushed-down driver read in dedup.py"
+
+
+def test_simhash_survivors_match_independent_unionfind(ray_session):
+    """Survivors generalize over pair sources: the simhash-sourced run
+    must equal union-find recomputed here from the simhash pair list."""
+    from ocr_corrector_ray.pipelines import dedup
+
+    pairs = dedup.simhash_neardup_pairs(SF_DIR).to_pandas()
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    drops = {x for x in parent if find(x) != x}
+    import pyarrow.parquet as pq
+
+    all_ids = set(
+        pq.read_table(SF_DIR + "/documents.parquet", columns=["doc_id"])
+        .column("doc_id").to_pylist()
+    )
+    surv = set(dedup.neardup_survivors(SF_DIR, source="simhash").to_pandas()["doc_id"])
+    assert surv == all_ids - drops
