@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_entropy": textstats.doc_token_entropy,
         "dup_ngram_ratio": textstats.dup_ngram_ratio,
         "pack_sequences": textstats.pack_sequences,
+        "curated_docs": textstats.curated_docs,
         "approx_distinct_tokens": _approx_distinct_tokens,
         "heavy_hitter_tokens": _heavy_hitter_tokens,
     }
@@ -604,6 +605,52 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(floor((1.0 - CAST(g.dist AS DOUBLE) / g.total)
                                   * 10000) / 10000, 0.0) AS dup_ratio
             FROM documents d LEFT JOIN g USING (doc_id)
+        """,
+        "curated_docs": r"""
+            WITH sig AS (
+                SELECT doc_id, md5(coalesce(text, '')) AS fp,
+                       CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                       coalesce(text, '') AS txt
+                FROM documents),
+            st AS (
+                SELECT doc_id,
+                       CASE WHEN n_tokens = 0 THEN 0.0
+                            ELSE floor((CAST(len(list_filter(
+                                     regexp_split_to_array(trim(txt), '\s+'),
+                                     x -> x IN ('the','a','of','to','and','in','is')))
+                                   AS DOUBLE) * 10000) / n_tokens) / 10000 END AS stop_ratio
+                FROM sig),
+            tk AS (
+                SELECT doc_id, regexp_split_to_array(trim(txt), '\s+') AS t
+                FROM sig WHERE n_tokens > 0),
+            p AS (SELECT doc_id, unnest(t) AS tok, len(t) AS n FROM tk),
+            cc AS (SELECT doc_id, tok, max(n) AS n, count(*) AS c
+                   FROM p GROUP BY doc_id, tok),
+            en AS (SELECT doc_id,
+                          floor((log2(CAST(max(n) AS DOUBLE))
+                                 - sum(c * log2(CAST(c AS DOUBLE))) / max(n))
+                                * 10000) / 10000 AS entropy
+                   FROM cc GROUP BY doc_id),
+            du AS (
+                SELECT doc_id, floor((1.0 - CAST(len(list_distinct(list_transform(
+                           range(1, len(t) - 1),
+                           i -> array_to_string(t[i:i+2], ' ')))) AS DOUBLE)
+                           / (len(t) - 2)) * 10000) / 10000 AS dup_ratio
+                FROM tk WHERE len(t) >= 3),
+            win AS (SELECT fp, min(doc_id) AS keep FROM sig GROUP BY fp)
+            SELECT s.doc_id, s.n_tokens,
+                   coalesce(en.entropy, 0.0) AS entropy,
+                   coalesce(du.dup_ratio, 0.0) AS dup_ratio
+            FROM sig s
+            JOIN win w ON s.doc_id = w.keep
+            LEFT JOIN st USING (doc_id)
+            LEFT JOIN en USING (doc_id)
+            LEFT JOIN du USING (doc_id)
+            WHERE s.n_tokens >= 20
+              AND st.stop_ratio >= 0.01 AND st.stop_ratio <= 0.6
+              AND coalesce(en.entropy, 0.0) >= 3.0
+              AND coalesce(du.dup_ratio, 0.0) <= 0.2
         """,
         "pack_sequences": r"""
             WITH t AS (

@@ -221,6 +221,90 @@ def pack_sequences(sf_dir: str, budget: int = 256, num_buckets: int = 8):
     )
 
 
+def curated_docs(sf_dir: str, min_tokens: int = 20, min_stop: float = 0.01,
+                 max_stop: float = 0.6, min_entropy: float = 3.0,
+                 max_dup: float = 0.2, num_buckets: int | None = None):
+    """Composite corpus-curation pipeline — the realistic filter chain a
+    training-data build runs, as ONE streaming pass: per-doc quality
+    signals (token count, stopword ratio, unigram entropy, dup-trigram
+    ratio) computed batch-local, exact-dedup winner per md5 fingerprint
+    chosen in a coarse-bucketed groupby (min doc_id keeps the cluster's
+    signals), then the threshold gates.  Output: the surviving docs with
+    their signals (doc_id, n_tokens, entropy, dup_ratio).
+
+    Scale shape: one signal pass over the corpus (no extra reads per
+    signal), ONE exchange keyed on hash64(fingerprint) % P for the
+    dedup — fingerprints are uniform, so no skew; per-bucket memory is
+    |corpus|/P signal rows (text never crosses the exchange)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from .analytics import STOPWORDS
+    from ._util import default_num_buckets, physical_partitions
+
+    num_buckets = num_buckets or default_num_buckets()
+    stop = set(STOPWORDS)
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def signals(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype="int64")
+        fp_out, n_out, st_out, en_out, du_out = [], [], [], [], []
+        for text in df["text"].fillna(""):
+            fp = hashlib.md5(text.encode("utf-8")).hexdigest()
+            toks = text.split()
+            n = len(toks)
+            fp_out.append(fp)
+            n_out.append(n)
+            if n == 0:
+                st_out.append(0.0)
+                en_out.append(0.0)
+                du_out.append(0.0)
+                continue
+            n_stop = sum(1 for w in toks if w in stop)
+            st_out.append(math.floor((n_stop * 10000.0) / n) / 10000)
+            counts = np.asarray(list(Counter(toks).values()), dtype=np.float64)
+            h = math.log2(n) - float((counts * np.log2(counts)).sum()) / n
+            en_out.append(math.floor(h * 10000) / 10000)
+            total = n - 2
+            if total <= 0:
+                du_out.append(0.0)
+            else:
+                grams = {" ".join(toks[i : i + 3]) for i in range(total)}
+                du_out.append(math.floor((1.0 - len(grams) / total) * 10000) / 10000)
+        fp_arr = np.asarray(fp_out, dtype=object)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "fp": fp_arr,
+            "bucket": (hash64_array(fp_out) % np.uint64(num_buckets)).astype("int32"),
+            "n_tokens": pd.Series(n_out, dtype="int64"),
+            "stop_ratio": pd.Series(st_out, dtype="float64"),
+            "entropy": pd.Series(en_out, dtype="float64"),
+            "dup_ratio": pd.Series(du_out, dtype="float64"),
+        })
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["fp", "doc_id"], kind="mergesort")
+        w = g.groupby("fp", as_index=False, sort=False).first()
+        keep = w[
+            (w["n_tokens"] >= min_tokens)
+            & (w["stop_ratio"] >= min_stop) & (w["stop_ratio"] <= max_stop)
+            & (w["entropy"] >= min_entropy) & (w["dup_ratio"] <= max_dup)
+        ]
+        return pd.DataFrame({
+            "doc_id": keep["doc_id"].to_numpy(dtype="int64"),
+            "n_tokens": keep["n_tokens"].to_numpy(dtype="int64"),
+            "entropy": keep["entropy"].to_numpy(dtype="float64"),
+            "dup_ratio": keep["dup_ratio"].to_numpy(dtype="float64"),
+        })
+
+    return (
+        ds.map_batches(signals, batch_format="pandas")
+        .groupby("bucket", num_partitions=physical_partitions(num_buckets))
+        .map_groups(winners, batch_format="pandas")
+    )
+
+
 def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 2,
                     num_buckets: int | None = None):
     """Per-doc top-k TF-IDF terms (doc_id, term, tfidf) — the classic
