@@ -207,8 +207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_instances": _training_instances,
         "media_features": _media_features,
         "ocr_correct_scorer": _ocr_correct_scorer,
-        # near-dup family (rows-only)
+        # near-dup family
         "minhash_signatures": dedup.minhash_signatures,
+        "minhash_sketch": dedup.minhash_sketch,
         "minhash_neardup_pairs": dedup.minhash_neardup_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_signatures": dedup.simhash_signatures,
@@ -241,12 +242,15 @@ def oracle_sql() -> dict[str, str]:
       extraction kernels use backreference regexes + BK-tree /
       char-similarity lookups outside RE2/SQL.  Exactness is pinned
       against the serial oracle implementation in tests/ instead.
-    - ``minhash_signatures`` / ``minhash_neardup_pairs`` /
-      ``neardup_survivors*``: the (a*x+b) permutation min wraps in
-      uint64 (datasketch-style) — no SQL 128-bit unsigned multiply; the
-      pair set depends on those signatures.  Banding+verify is pinned
-      against a serial independent recomputation
-      (tests/goldens, scripts/regen_neardup_golden.py).
+    - ``minhash_signatures``: list<int64>-shaped output (the banding
+      stages consume it); list columns don't survive the driver's
+      column-wise value hash, so the SAME computation is oracle-checked
+      through its exploded scalar view ``minhash_sketch`` (the uint64
+      wrap of the (a*x+b) remix is reproduced exactly with HUGEINT
+      modular arithmetic).  ``minhash_neardup_pairs`` and the
+      ``neardup_survivors*`` closures are fully oracled below; the
+      serial golden (tests/goldens, scripts/regen_neardup_golden.py)
+      stays as a second, engine-independent pin.
     - ``embedding_neardup``: LSH recall < 1 by design, so no exact SQL
       predicate reproduces its candidate set (the exact superset IS
       SQL-able, but asserting equality against it would be wrong).
@@ -259,6 +263,111 @@ def oracle_sql() -> dict[str, str]:
     toks = r"regexp_split_to_array(trim(text), '\s+')"
     n_tokens = rf"CASE WHEN trim(text) = '' THEN 0 ELSE len({toks}) END"
     n_stop = rf"CASE WHEN trim(text) = '' THEN 0 ELSE len(list_filter({toks}, x -> x IN {_STOP_SQL})) END"
+
+    # ---- MinHash family fragments -------------------------------------
+    # The (p, a, b) permutation constants are generated by the SAME
+    # seeded RNG the Ray operator uses (dedup._perm_params) and inlined
+    # as a VALUES list, so the oracle recomputes identical signatures.
+    # CAST(... AS HUGEINT): a < 2^61 and h < 2^64, so a*h + b < 2^126
+    # fits signed 128-bit; "% 2^64" reproduces numpy's intentional
+    # uint64 wrap bit-for-bit (verified: HUGEINT remix == numpy wrap).
+    from ocr_corrector_ray.pipelines.dedup import _perm_params
+
+    _pa, _pb = _perm_params(64)
+    mh_vals = ", ".join(f"({p}, {int(_pa[p])}, {int(_pb[p])})" for p in range(64))
+    mh_cte = rf"""
+            perms(p, a, b) AS (VALUES {mh_vals}),
+            mh_tk AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            mh_sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                            ELSE list_transform(range(1, len(t) - 1),
+                                                i -> array_to_string(t[i:i+2], ' '))
+                       END AS s
+                FROM mh_tk),
+            mh_hx AS (
+                SELECT doc_id, md5_number_lower(us.sg) AS h
+                FROM mh_sh, LATERAL unnest(s) AS us(sg)),
+            mh_mn AS (
+                SELECT doc_id, pm.p AS perm,
+                       min(CAST(((CAST(pm.a AS HUGEINT) * h + pm.b)
+                                 % 18446744073709551616)
+                                % 2305843009213693951 AS BIGINT)) AS mh
+                FROM mh_hx CROSS JOIN perms pm GROUP BY doc_id, pm.p)"""
+    # Bands: 64 perms / 16 bands = 4 rows per band; docs sharing a band's
+    # exact 4-value slice are LSH candidates (grouping on the raw values
+    # is equivalent to the operator's blake2b band digest).  The
+    # operator's degenerate-bucket cap (500) cannot trigger at oracle
+    # scale (500 docs total), so candidate sets agree.
+    mh_pairs_cte = f"""{mh_cte},
+            mh_bands AS (
+                SELECT doc_id, perm // 4 AS band_id,
+                       string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm) AS bsig
+                FROM mh_mn GROUP BY 1, 2),
+            mh_cand AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM mh_bands x JOIN mh_bands y
+                  ON y.band_id = x.band_id AND y.bsig = x.bsig
+                 AND x.doc_id < y.doc_id),
+            mh_sets AS (SELECT doc_id, list_distinct(s) AS s FROM mh_sh),
+            mh_jac AS (
+                SELECT c.a, c.b,
+                       CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                       / len(list_distinct(list_concat(sa.s, sb.s))) AS j
+                FROM mh_cand c JOIN mh_sets sa ON sa.doc_id = c.a
+                               JOIN mh_sets sb ON sb.doc_id = c.b)"""
+
+    # ---- SimHash fragments (shared by sigs / pairs / survivors) -------
+    sim_cte = r"""
+            sim_tok AS (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            sim_h AS (SELECT doc_id, md5_number_lower(tok) AS h FROM sim_tok),
+            sim_bits AS (
+                SELECT doc_id, bb.b,
+                       sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM sim_h, (SELECT unnest(generate_series(0, 63)) AS b) bb
+                GROUP BY doc_id, bb.b),
+            sim_sig0 AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN v > 0 THEN
+                                  CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                                       ELSE (CAST(1 AS BIGINT) << b) END
+                                ELSE 0 END) AS BIGINT) AS simhash
+                FROM sim_bits GROUP BY doc_id),
+            sim_sig AS (
+                SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
+                FROM documents d LEFT JOIN sim_sig0 s USING (doc_id)),
+            -- hamming-band candidate generation is recall-COMPLETE for
+            -- max_hamming <= bands-1 (pigeonhole), so the operator's
+            -- output equals the plain all-pairs hamming filter
+            sim_pairs AS (
+                SELECT a.doc_id AS a, b.doc_id AS b,
+                       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+                FROM sim_sig a JOIN sim_sig b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)"""
+
+    def closure_sql(pair_cte: str, pair_rel: str) -> str:
+        """Survivors = ids minus connected-component non-representatives:
+        min-id labels via a recursive reachability CTE over the verified
+        pair graph (UNION dedups rows, so the iteration terminates)."""
+        return f"""
+            WITH RECURSIVE {pair_cte},
+            cc_e AS (SELECT a, b FROM {pair_rel}
+                     UNION ALL
+                     SELECT b AS a, a AS b FROM {pair_rel}),
+            cc_reach(node, m) AS (
+                SELECT a AS node, b AS m FROM cc_e
+                UNION
+                SELECT r.node, e.b AS m FROM cc_reach r JOIN cc_e e ON e.a = r.m),
+            cc_drops AS (
+                SELECT node FROM cc_reach GROUP BY node HAVING min(m) < node)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM cc_drops)
+        """
+
     return {
         "doc_stats": f"""
             SELECT lang, source,
@@ -519,54 +628,31 @@ def oracle_sql() -> dict[str, str]:
             ANTI JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
               ON o.o_custkey = c.c_custkey
         """,
-        "simhash_signatures": r"""
-            WITH tok AS (
-                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
-                FROM documents WHERE trim(coalesce(text, '')) <> ''),
-            h AS (SELECT doc_id, md5_number_lower(tok) AS h FROM tok),
-            bits AS (
-                SELECT doc_id, bb.b,
-                       sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-                FROM h, (SELECT unnest(generate_series(0, 63)) AS b) bb
-                GROUP BY doc_id, bb.b),
-            sig AS (
-                SELECT doc_id,
-                       CAST(sum(CASE WHEN v > 0 THEN
-                                  CASE WHEN b = 63 THEN -9223372036854775807 - 1
-                                       ELSE (CAST(1 AS BIGINT) << b) END
-                                ELSE 0 END) AS BIGINT) AS simhash
-                FROM bits GROUP BY doc_id)
-            SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
-            FROM documents d LEFT JOIN sig s USING (doc_id)
+        "simhash_signatures": f"""
+            WITH {sim_cte}
+            SELECT doc_id, simhash FROM sim_sig
         """,
-        "simhash_neardup_pairs": r"""
-            WITH tok AS (
-                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
-                FROM documents WHERE trim(coalesce(text, '')) <> ''),
-            h AS (SELECT doc_id, md5_number_lower(tok) AS h FROM tok),
-            bits AS (
-                SELECT doc_id, bb.b,
-                       sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-                FROM h, (SELECT unnest(generate_series(0, 63)) AS b) bb
-                GROUP BY doc_id, bb.b),
-            sig0 AS (
-                SELECT doc_id,
-                       CAST(sum(CASE WHEN v > 0 THEN
-                                  CASE WHEN b = 63 THEN -9223372036854775807 - 1
-                                       ELSE (CAST(1 AS BIGINT) << b) END
-                                ELSE 0 END) AS BIGINT) AS simhash
-                FROM bits GROUP BY doc_id),
-            sig AS (
-                SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
-                FROM documents d LEFT JOIN sig0 s USING (doc_id))
-            -- hamming-band candidate generation is recall-COMPLETE for
-            -- max_hamming <= bands-1 (pigeonhole), so the operator's
-            -- output equals the plain all-pairs hamming filter
-            SELECT a.doc_id AS a, b.doc_id AS b,
-                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        "simhash_neardup_pairs": f"""
+            WITH {sim_cte}
+            SELECT a, b, hamming FROM sim_pairs
         """,
+        "minhash_sketch": f"""
+            WITH {mh_cte}
+            SELECT d.doc_id, CAST(pm.p AS BIGINT) AS perm,
+                   coalesce(m.mh, 9223372036854775807) AS minhash
+            FROM documents d CROSS JOIN perms pm
+            LEFT JOIN mh_mn m ON m.doc_id = d.doc_id AND m.perm = pm.p
+        """,
+        "minhash_neardup_pairs": f"""
+            WITH {mh_pairs_cte}
+            SELECT a, b, floor(j * 10000) / 10000 AS jaccard
+            FROM mh_jac WHERE j >= 0.5
+        """,
+        "neardup_survivors": closure_sql(
+            f"{mh_pairs_cte},\n            vp AS (SELECT a, b FROM mh_jac WHERE j >= 0.5)",
+            "vp",
+        ),
+        "neardup_survivors_simhash": closure_sql(sim_cte, "sim_pairs"),
         "customers_with_orders": """
             SELECT c.c_custkey, c.c_name
             FROM customer c

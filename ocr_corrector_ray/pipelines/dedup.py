@@ -20,6 +20,7 @@ broadcast, bounded per-bucket memory (|table|/P rows).
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 from typing import List
 
@@ -169,6 +170,32 @@ def minhash_signatures(sf_dir: str, num_perm: int = 64, shingle_n: int = 3):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def minhash_sketch(sf_dir: str, num_perm: int = 64, shingle_n: int = 3):
+    """Exploded (doc_id, perm, minhash) scalar rows — the DuckDB-checkable
+    surface of the MinHash computation.  ``minhash_signatures`` keeps the
+    list-shaped API the banding stages consume; this view exists so the
+    per-permutation min over the affine-remixed md5 item hashes is
+    hash-verified end-to-end by the SQL oracle (HUGEINT modular
+    arithmetic reproduces the intentional uint64 wrap bit-for-bit)."""
+    sigs = minhash_signatures(sf_dir, num_perm, shingle_n)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n:
+            sig = np.asarray(df["sig"].tolist(), dtype=np.int64).reshape(n, num_perm)
+        else:
+            sig = np.empty((0, num_perm), dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(df["doc_id"].to_numpy(), num_perm),
+                "perm": np.tile(np.arange(num_perm, dtype=np.int64), n),
+                "minhash": sig.reshape(-1),
+            }
+        )
+
+    return sigs.map_batches(explode, batch_format="pandas")
+
+
 def minhash_band_rows(sf_dir: str, num_perm: int = 64, bands: int = 16, shingle_n: int = 3):
     """Explode signatures to (band_id, band_hash, doc_id) rows — the LSH
     bucketing key for the groupby."""
@@ -296,7 +323,9 @@ def minhash_neardup_pairs(
             if j >= threshold:
                 keep_a.append(a_id)
                 keep_b.append(b_id)
-                jac.append(round(j, 4))
+                # floor-scale, not round: bit-matches the DuckDB oracle
+                # (round-half modes differ across engines)
+                jac.append(math.floor(j * 1e4) / 1e4)
         return pd.DataFrame({"a": pd.Series(keep_a, dtype="int64"),
                              "b": pd.Series(keep_b, dtype="int64"),
                              "jaccard": pd.Series(jac, dtype="float64")})

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import math
 import os
 import sys
 from collections import defaultdict
@@ -80,7 +81,9 @@ def minhash_pairs(num_perm=64, bands=16, shingle_n=3, threshold=0.5):
             continue
         j = len(sa & sb) / len(sa | sb)
         if j >= threshold:
-            out.append([int(a_id), int(b_id), round(j, 4)])
+            # floor-scale, not round — matches the operator and its
+            # DuckDB oracle (round-half modes differ across engines)
+            out.append([int(a_id), int(b_id), math.floor(j * 1e4) / 1e4])
     return sorted(out)
 
 
