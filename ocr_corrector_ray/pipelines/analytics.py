@@ -105,8 +105,12 @@ def lang_script(sf_dir: str):
     ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["text"])
 
     def fn(batch: pa.Table) -> pa.Table:
-        # in-batch combiner: ≤2 partial rows per block cross the exchange
-        has_cjk = pc.match_substring_regex(batch.column("text"), "[一-龥]")
+        # in-batch combiner: ≤2 partial rows per block cross the exchange.
+        # null text coalesces to "" BEFORE classifying so every row keeps a
+        # non-null script and the valid-only 'count' still counts it
+        # (ADVICE r3: a null text row must not vanish from the totals)
+        text = pc.fill_null(batch.column("text"), "")
+        has_cjk = pc.match_substring_regex(text, "[一-龥]")
         script = pc.if_else(has_cjk, "cjk", "latin")
         g = pa.table({"script": script}).group_by("script").aggregate(
             [("script", "count")]

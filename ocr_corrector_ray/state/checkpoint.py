@@ -147,9 +147,16 @@ def checkpoint_format(out_dir: str) -> Optional[str]:
     """The storage format persisted with this checkpoint's manifest rows
     (None for a fresh/empty checkpoint).  Pre-format manifests (older
     runs) default to parquet — the only format this sandbox ever wrote."""
-    for row in _manifest_rows(out_dir):
-        return row.get("format") or "parquet"
-    return None
+    fmts = {row.get("format") or "parquet" for row in _manifest_rows(out_dir)}
+    if len(fmts) > 1:
+        # a mixed-format checkpoint means some writer resolved its driver
+        # independently — read paths would silently drop the other format's
+        # fragments, so fail loudly here instead (ADVICE r3)
+        raise RuntimeError(
+            f"checkpoint at {out_dir} has mixed fragment formats {sorted(fmts)}; "
+            "it was written by runs resolving storage drivers independently"
+        )
+    return next(iter(fmts)) if fmts else None
 
 
 def write_partition(batch: pa.Table, out_dir: str, num_partitions: int,
@@ -323,8 +330,12 @@ def run_checkpointed(
         concurrency=concurrency,
         per_group=functools.partial(
             write_partition, out_dir=out_dir, num_partitions=num_partitions,
-            # a resume keeps writing the format the checkpoint started in
-            fmt=checkpoint_format(out_dir),
+            # a resume keeps writing the format the checkpoint started in;
+            # a FRESH run resolves the format ONCE here on the driver and
+            # ships the concrete name to every task — per-worker lance
+            # importability must not decide it, or a heterogeneous cluster
+            # writes a mixed-format checkpoint (ADVICE r3)
+            fmt=checkpoint_format(out_dir) or get_driver().name,
         ),
     )
     manifest_ds.materialize()  # drives the whole pipeline; manifest is tiny
