@@ -39,6 +39,43 @@ BENCH_QUERIES = [
 HEADLINE = "ocr_correct"
 
 
+def env_canary() -> dict:
+    """Fixed in-process microbenchmark emitted with every bench JSON so a
+    round-over-round delta can be attributed to HOST drift vs code change
+    (VERDICT r3 #2: the r2->r3 'regression' was the host running ~1.5x
+    slower, proven by an A/B of identical code).  Two probes, best-of-3:
+
+    - ``matmul_s``: seeded 1024x1024 float64 matmul — CPU/DRAM capability,
+      sensitive to residual load exactly like the corrector kernels;
+    - ``pq_read_s``: pure parquet read+decode of the PINNED sf0.01
+      documents table — the I/O/page-cache side.
+
+    Compare pipelines as ratios to the canary: quiet-machine reference
+    values are recorded in BASELINE.md's round-4 section."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(0)
+    A = rng.rand(1024, 1024)
+    B = rng.rand(1024, 1024)
+    mm = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        A @ B
+        mm.append(time.perf_counter() - t0)
+    pinned = "/root/testdata/sf0.01/documents.parquet"
+    rd = []
+    if os.path.exists(pinned):
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pq.read_table(pinned)
+            rd.append(time.perf_counter() - t0)
+    return {
+        "matmul_s": round(min(mm), 4),
+        "pq_read_s": round(min(rd), 4) if rd else None,
+    }
+
+
 def _consume(result) -> int:
     """Fully execute a lazy result; returns row count.  count() keeps the
     final aggregation distributed — funnelling every block through a
@@ -113,6 +150,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "spans_per_s": round(rows[headline] / timings[headline], 1),
         "sf": sf_dir,
         "num_cpus": num_cpus,
+        "canary": env_canary(),
     }
     ray.shutdown()
     return result
@@ -184,6 +222,10 @@ def run_scaling(sf_dir: str, levels=None) -> dict:
         f"spans_per_s_{lo}": thr_lo,
         f"spans_per_s_{hi}": thr_hi,
         "scaling_efficiency": round(eff, 3),
+        # each level's subprocess measured its own canary — a depressed
+        # canary at the high level flags a load-polluted ratio
+        f"canary_{lo}": out[lo].get("canary"),
+        f"canary_{hi}": out[hi].get("canary"),
     }
 
 
