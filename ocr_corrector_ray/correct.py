@@ -157,8 +157,55 @@ def correct_lm_texts(
 ) -> List[str]:
     """Correct a batch of spans via the LM path.  The model consumes
     digit-normalised sentences; corrections are applied to the ORIGINAL
-    text (bert_corrector.py:37-49).  Per-text exception => original text."""
+    text (bert_corrector.py:37-49).  Per-text exception => original text.
+
+    Fast path (VERDICT r3 #3, output-neutral by construction): with the
+    synthetic confusion-table LM and a filler-rejecting curve ("02"
+    requires confidence >= 0.05; "full" rejects everything — filler
+    candidates are capped below 0.049 by SyntheticLM), a span can only
+    ever change at a position that is in-range, non-digit (digit
+    positions are skipped before candidates are read) and whose char has
+    a confusion_rev entry (echo candidates equal the original char for
+    every non-digit position, since normalize_digits touches exactly the
+    ASCII digits is_number_char skips).  A span with NO such position
+    provably comes back unchanged — including the raise-containment
+    cases, which also return the original text — so the model call is
+    skipped for it.  Pinned output-equal to the unpruned path in
+    tests/test_correct.py."""
     curve = textproc.CURVES[cfg.curve]
+    lm = res.lm
+    if cfg.curve in ("02", "full") and isinstance(lm, SyntheticLM):
+        conf_rev = lm.confusion_rev
+        needed = [
+            i for i, (t, errs) in enumerate(zip(texts, err_positions))
+            if any(
+                0 <= e < len(t)
+                and not is_number_char(t[e])
+                and conf_rev.get(t[e])
+                for e in errs
+            )
+        ]
+        if len(needed) < len(texts):
+            out = list(texts)
+            if needed:
+                sub = _correct_lm_texts_full(
+                    [texts[i] for i in needed],
+                    [err_positions[i] for i in needed],
+                    res, cfg, curve,
+                )
+                for i, v in zip(needed, sub):
+                    out[i] = v
+            return out
+    return _correct_lm_texts_full(texts, err_positions, res, cfg, curve)
+
+
+def _correct_lm_texts_full(
+    texts: Sequence[str],
+    err_positions: Sequence[Sequence[int]],
+    res: CorrectorResources,
+    cfg: CorrectorConfig,
+    curve,
+) -> List[str]:
     normed = [textproc.normalize_digits(t) for t in texts]
     try:
         lm_out = res.lm.find_topn_candidates(normed, err_positions)

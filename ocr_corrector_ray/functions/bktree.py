@@ -29,14 +29,25 @@ def levenshtein(a: str, b: str) -> int:
     if lb == 0:
         return la
     prev = list(range(lb + 1))
-    for i in range(1, la + 1):
-        cur = [i] + [0] * lb
-        ai = a[i - 1]
-        for j in range(1, lb + 1):
-            if ai == b[j - 1]:
-                cur[j] = prev[j - 1]
+    for i, ai in enumerate(a, 1):
+        cur = [i]
+        append = cur.append
+        left = i          # cur[j-1]
+        diag = prev[0]    # prev[j-1]
+        for bj, pj in zip(b, prev[1:]):
+            if ai == bj:
+                d = diag
             else:
-                cur[j] = 1 + min(prev[j - 1], prev[j], cur[j - 1])
+                d = diag + 1
+                t = pj + 1
+                if t < d:
+                    d = t
+                t = left + 1
+                if t < d:
+                    d = t
+            append(d)
+            left = d
+            diag = pj
         prev = cur
     return prev[lb]
 

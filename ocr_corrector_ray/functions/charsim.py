@@ -45,6 +45,28 @@ SAFE: Dict[str, str] = {
 }
 
 
+def _edit_distance_np(a: Sequence[str], b: Sequence[str], sub_cost: int) -> int:
+    """Row-vectorized DP for LONG inputs (decomposition strings routinely
+    reach dozens of components): the ``cur[j-1]+1`` chain resolves as a
+    prefix-min after subtracting the column index, so each row is a handful
+    of numpy kernels instead of ``len(b)`` Python iterations.  Identical
+    recurrence (and outputs) to the scalar loop below."""
+    import numpy as np
+
+    B = np.array(list(b))
+    lb = len(b)
+    idx = np.arange(1, lb + 1)
+    pad0 = np.array([0])
+    prev = np.arange(lb + 1)
+    for i, ai in enumerate(a, 1):
+        cost = np.where(B == ai, 0, sub_cost)
+        t = np.minimum(prev[1:] + 1, prev[:-1] + cost)
+        # cur[j] = min(t[j], cur[j-1]+1)  <=>  (cur-j) = running min of (t-j)
+        w = np.minimum.accumulate(np.concatenate(([i], t - idx)))
+        prev = w + np.concatenate((pad0, idx))
+    return int(prev[-1])
+
+
 def edit_distance(a: Sequence[str], b: Sequence[str], name: str = "Levenshtein") -> int:
     """Edit distance between two sequences.
 
@@ -58,26 +80,35 @@ def edit_distance(a: Sequence[str], b: Sequence[str], name: str = "Levenshtein")
     if lb == 0:
         return la
     sub_cost = 1 if name == "Levenshtein" else 2
+    if la * lb >= 6400:  # measured crossover (~80x80); numpy wins beyond
+        return _edit_distance_np(a, b, sub_cost)
     prev = list(range(lb + 1))
-    cur = [0] * (lb + 1)
-    for i in range(1, la + 1):
-        cur[0] = i
-        ai = a[i - 1]
-        for j in range(1, lb + 1):
-            if ai == b[j - 1]:
-                d = prev[j - 1]
-                if prev[j] + 1 < d:
-                    d = prev[j] + 1
-                if cur[j - 1] + 1 < d:
-                    d = cur[j - 1] + 1
+    for i, ai in enumerate(a, 1):
+        cur = [i]
+        append = cur.append
+        left = i          # cur[j-1]
+        diag = prev[0]    # prev[j-1]
+        for bj, pj in zip(b, prev[1:]):
+            if ai == bj:
+                d = diag
+                t = pj + 1
+                if t < d:
+                    d = t
+                t = left + 1
+                if t < d:
+                    d = t
             else:
-                d = prev[j - 1] + sub_cost
-                if prev[j] + 1 < d:
-                    d = prev[j] + 1
-                if cur[j - 1] + 1 < d:
-                    d = cur[j - 1] + 1
-            cur[j] = d
-        prev, cur = cur, prev
+                d = diag + sub_cost
+                t = pj + 1
+                if t < d:
+                    d = t
+                t = left + 1
+                if t < d:
+                    d = t
+            append(d)
+            left = d
+            diag = pj
+        prev = cur
     return prev[lb]
 
 
@@ -119,6 +150,14 @@ class CharMeta:
     def __init__(self, data: Dict[str, dict], memoize: bool = True):
         self.data = data
         self._memo: Dict[Tuple[str, str], float] = {} if memoize else None
+        # SAFE-encoded FIRST decomposition per char, computed once at actor
+        # init: shape_similarity misses then do two dict probes + one DP
+        # instead of re-decomposing and re-encoding per call.  SAFE is a
+        # 1:1 per-char substitution, so len(encoded) == len(decomposition)
+        # and the reference's denominator is unchanged.
+        self._enc: Dict[str, str] = {
+            ch: safe_encode_string(m["decompositions"][0]) for ch, m in data.items()
+        }
 
     @classmethod
     def from_tsv(cls, path: str) -> "CharMeta":
@@ -161,10 +200,14 @@ class CharMeta:
             v = self._memo.get(key)
             if v is not None:
                 return v
-        d1 = self.decompose_text(s1)
-        d2 = self.decompose_text(s2)
-        ed = edit_distance(safe_encode_string(d1), safe_encode_string(d2))
-        sim = max(0.0, 1 - ed / max(len(d1), len(d2)))
+        enc = self._enc
+        # single-char inputs are the hot case (LM candidate vs origin char)
+        e1 = (enc.get(s1, "") if len(s1) == 1
+              else "".join(e for e in (enc.get(t) for t in s1) if e is not None))
+        e2 = (enc.get(s2, "") if len(s2) == 1
+              else "".join(e for e in (enc.get(t) for t in s2) if e is not None))
+        ed = edit_distance(e1, e2)
+        sim = max(0.0, 1 - ed / max(len(e1), len(e2)))
         if self._memo is not None:
             self._memo[key] = sim
         return sim

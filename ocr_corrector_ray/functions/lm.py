@@ -54,7 +54,12 @@ def _pos_seed(sent: str, pos: int) -> int:
 
 
 def _unit(seed: int, salt: int) -> float:
-    return _splitmix64(seed ^ (salt * 0xA24BAED4963EE407)) / 2**64
+    # _splitmix64(seed ^ salt*C) inlined — this runs ~6x per candidate
+    # position in the hot path and the call overhead was measurable
+    x = ((seed ^ (salt * 0xA24BAED4963EE407)) + 0x9E3779B97F4A7C15) & _MASK64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _MASK64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _MASK64
+    return (x ^ (x >> 31)) / 2**64
 
 
 class CandidateModel:

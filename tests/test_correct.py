@@ -127,3 +127,37 @@ def test_unknown_char_span_survives(resources, cfg):
     probs = [0.99] * 4 + [0.5] + [0.99] * 3
     out = correct_one_span("text", text, probs, "doc", resources, cfg)
     assert len(out) == len(text)
+
+
+# --- LM fast-path prune is output-neutral -----------------------------------
+def test_lm_noop_prune_matches_full_path(resources):
+    """correct_lm_texts' provably-no-op span prune (synthetic LM +
+    filler-rejecting curve) must be bit-identical to the unpruned path on
+    spans mixing clean chars, confusion chars, digits, out-of-range and
+    negative error positions, for every built-in curve."""
+    import random
+
+    from ocr_corrector_ray.correct import CorrectorConfig, _correct_lm_texts_full
+    from ocr_corrector_ray.correct import correct_lm_texts as pruned
+    from ocr_corrector_ray.functions import textproc
+
+    conf_keys = sorted(resources.lm.confusion_rev)
+    _, inv, _ = datagen.static_tables()
+    rng = random.Random(5)
+    pool = list(inv) + conf_keys * 3 + list("0123456789．，")
+    texts, errs = [], []
+    for _ in range(300):
+        n = rng.randint(1, 20)
+        t = "".join(rng.choice(pool) for _ in range(n))
+        k = min(rng.randint(0, n + 2), n + 4)
+        texts.append(t)
+        errs.append(sorted(rng.sample(range(-2, n + 3), k=k)))
+    for curve in ("02", "full", "null"):
+        cfg2 = CorrectorConfig(curve=curve)
+        a = pruned(texts, errs, resources, cfg2)
+        b = _correct_lm_texts_full(texts, errs, resources, cfg2, textproc.CURVES[curve])
+        assert a == b
+    # and the prune actually fires: a clean-only span list changes nothing
+    clean = [c for c in inv if c not in resources.lm.confusion_rev][:5]
+    t = "".join(clean)
+    assert pruned([t], [list(range(len(t)))], resources, CorrectorConfig()) == [t]
