@@ -227,6 +227,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_docs": textstats.curated_docs,
         "approx_distinct_tokens": _approx_distinct_tokens,
         "heavy_hitter_tokens": _heavy_hitter_tokens,
+        # extraction-kernel conformance: the flagship's PDF/HTML extraction
+        # kernels run over artifact-wrapped documents.text with the wrap +
+        # rule chain mirrored in DuckDB (value-hash check on the kernels)
+        "extract_pdf_kernel": analytics.extract_pdf_kernel,
+        "extract_html_kernel": analytics.extract_html_kernel,
     }
 
 
@@ -367,6 +372,92 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT node FROM cc_drops)
         """
+
+    # ---- extraction-kernel conformance ---------------------------------
+    # The artifact wrap (analytics._wrap_pdf / HTML_WRAP_PRE+POST) and the
+    # kernel rule chains (functions/extract.py) are mirrored step by step;
+    # the wrap constants are imported so Ray and SQL can never drift.
+    from ocr_corrector_ray.pipelines.analytics import HTML_WRAP_POST, HTML_WRAP_PRE
+
+    extract_pdf_sql = r"""
+        WITH w AS (
+            SELECT doc_id,
+                   replace(regexp_replace(replace(coalesce(text, ''), ' ', '  '),
+                                          '(.{40})', '\1-' || chr(10), 'g'),
+                           'e', 'e' || chr(12)) AS w
+            FROM documents)
+        SELECT doc_id,
+               regexp_replace(replace(replace(regexp_replace(w, '-' || chr(10), '', 'g'),
+                                              chr(12), ''),
+                                      chr(10), ''),
+                              ' {2,}', ' ', 'g') AS text
+        FROM w
+    """
+    extract_html_sql = (
+        r"""
+        WITH h AS (
+            SELECT doc_id, '__PRE__' || coalesce(text, '') || '__POST__' AS h
+            FROM documents),
+        -- boilerplate containers dropped wholesale (extract.py:36-39,55)
+        s1 AS (
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                h,
+                '<script[^>]*>.*?</script\s*>', '', 'gis'),
+                '<style[^>]*>.*?</style\s*>', '', 'gis'),
+                '<head[^>]*>.*?</head\s*>', '', 'gis'),
+                '<nav[^>]*>.*?</nav\s*>', '', 'gis'),
+                '<footer[^>]*>.*?</footer\s*>', '', 'gis'),
+                '<aside[^>]*>.*?</aside\s*>', '', 'gis') AS s
+            FROM h),
+        -- anchor text marked with the same \x01/\x02 sentinels (extract.py:56)
+        s2 AS (SELECT doc_id, regexp_replace(s, '<a\b[^>]*>(.*?)</a\s*>',
+                                             chr(1) || '\1' || chr(2), 'gis') AS s FROM s1),
+        -- block boundaries -> newline, strip remaining tags (extract.py:57-58)
+        s3 AS (SELECT doc_id, regexp_replace(s,
+                 '<br\s*/?>|</(?:p|div|li|h[1-6]|tr|td|section|article|ul|ol|table)\s*>',
+                 chr(10), 'gi') AS s FROM s2),
+        s4 AS (SELECT doc_id, regexp_replace(s, '<[^>]+>', '', 'g') AS s FROM s3),
+        -- entity unescape, same order as extract.py:46-49
+        s5 AS (SELECT doc_id,
+                 replace(replace(replace(replace(replace(replace(s,
+                   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', chr(39)), '&amp;', '&') AS s
+               FROM s4),
+        lines AS (
+            SELECT doc_id,
+                   unnest(string_split(s, chr(10))) AS line,
+                   unnest(range(1, length(string_split(s, chr(10))) + 1)) AS ord
+            FROM s5),
+        feat AS (
+            SELECT doc_id, ord, line,
+                   trim(replace(replace(line, chr(1), ''), chr(2), ''),
+                        ' ' || chr(9) || chr(13) || chr(12) || chr(11)) AS visible
+            FROM lines),
+        -- per-line keep rule: >=2 CJK chars, or >=25 visible chars with
+        -- link density < 0.5 (extract.py:62-84)
+        feat2 AS (
+            SELECT doc_id, ord, visible,
+                   length(visible)
+                     - length(regexp_replace(visible, '[一-龥]', '', 'g')) AS n_cjk,
+                   length(regexp_replace(visible, '\s', '', 'g')) AS n_vis,
+                   length(regexp_replace(replace(replace(line, chr(1), ''), chr(2), ''),
+                                         '\s', '', 'g'))
+                     - length(regexp_replace(replace(replace(
+                         regexp_replace(line, chr(1) || '[^' || chr(2) || ']*' || chr(2), '', 'g'),
+                         chr(1), ''), chr(2), ''), '\s', '', 'g')) AS in_link
+            FROM feat)
+        SELECT doc_id,
+               string_agg(
+                 CASE WHEN visible = '' THEN ''
+                      WHEN n_cjk >= 2 THEN visible
+                      WHEN n_vis >= 25 AND in_link / greatest(1, n_vis) < 0.5 THEN visible
+                      ELSE '' END, '' ORDER BY ord) AS text
+        FROM feat2 GROUP BY doc_id
+    """
+        .replace("__PRE__", HTML_WRAP_PRE)
+        .replace("__POST__", HTML_WRAP_POST)
+    )
 
     return {
         "doc_stats": f"""
@@ -765,4 +856,6 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY t.total_price DESC, t.c_custkey
             LIMIT 10
         """,
+        "extract_pdf_kernel": extract_pdf_sql,
+        "extract_html_kernel": extract_html_sql,
     }

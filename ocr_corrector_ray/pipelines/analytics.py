@@ -1001,3 +1001,76 @@ def top_customers(sf_dir: str, n: int = 10):
 
     named = totals.map_batches(attach_name, batch_format="pandas")
     return named.sort(["total_price", "c_custkey"], descending=[True, False]).limit(n)
+
+
+# ---------------------------------------------------------------------------
+# extraction-kernel conformance (verdict r3 #8): the flagship's extraction
+# stage is deterministic string surgery, so its kernels CAN be value-hash
+# checked against DuckDB — wrap documents.text with deterministic layout /
+# markup artifacts, run the REAL functions.extract kernels on the Ray side,
+# and mirror the wrap + the kernel's rule chain in SQL (__ray_entry__).
+# The reference has no extraction stage (its inputs are pre-extracted OCR
+# lines); this stage is the north-rule tier-extraction addition.
+# ---------------------------------------------------------------------------
+
+# HTML artifact wrap: boilerplate containers that must be dropped wholesale
+# (head+script, nav, footer), a content paragraph, and a link-dense line
+# that the link-density rule must reject.  No single quotes — these strings
+# are embedded verbatim in the DuckDB oracle SQL.
+HTML_WRAP_PRE = (
+    '<html><head><title>t</title><script>var x=1;</script></head><body>'
+    '<nav><a href="/">home</a> <a href="/a">archive</a></nav><p>'
+)
+HTML_WRAP_POST = (
+    '</p><div><a href="/more">read more documentation and related links here</a> ok</div>'
+    '<footer>&amp;copy 2026 &nbsp;corp</footer></body></html>'
+)
+
+_PDF_BREAK_RE = None  # compiled lazily so `import analytics` stays cheap
+
+
+def _wrap_pdf(s: str) -> str:
+    """Deterministic PDF layout artifacts: doubled spaces (space-run
+    collapse), a hyphenated line break every 40 chars (dehyphenation), a
+    form feed after every 'e' (page-break removal)."""
+    global _PDF_BREAK_RE
+    if _PDF_BREAK_RE is None:
+        import re
+
+        _PDF_BREAK_RE = re.compile(r"(.{40})")
+    w = (s or "").replace(" ", "  ")
+    w = _PDF_BREAK_RE.sub(lambda m: m.group(1) + "-\n", w)
+    return w.replace("e", "e\f")
+
+
+def extract_pdf_kernel(sf_dir: str):
+    """Run the real ``extract_pdf`` kernel over artifact-wrapped
+    documents.text (see functions/extract.py:91-95; kernel also exercised
+    by the flagship ``ocr_extract``)."""
+    from ..functions.extract import extract_pdf
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        out = [extract_pdf(_wrap_pdf(s)) for s in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"), "text": pa.array(out, pa.string())})
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def extract_html_kernel(sf_dir: str):
+    """Run the real ``extract_html`` kernel (boilerplate drop, block
+    segmentation, link-density line filter — functions/extract.py:54-84)
+    over documents.text wrapped in a deterministic page skeleton."""
+    from ..functions.extract import extract_html
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        out = [
+            extract_html(HTML_WRAP_PRE + (s or "") + HTML_WRAP_POST)
+            for s in batch.column("text").to_pylist()
+        ]
+        return pa.table({"doc_id": batch.column("doc_id"), "text": pa.array(out, pa.string())})
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
