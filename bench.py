@@ -76,6 +76,44 @@ def env_canary() -> dict:
     }
 
 
+def _membw_worker(q, barrier):
+    import numpy as np
+
+    a = np.ones(32 * 1024 * 1024, dtype=np.float64)  # 256 MB
+    b = np.empty_like(a)
+    np.add(a, 1.0, out=b)  # warm: fault every page before timing
+    barrier.wait()  # all workers stream together
+    t0 = time.perf_counter()
+    reps = 8
+    for _ in range(reps):
+        np.add(a, 1.0, out=b)  # read 256 MB + write 256 MB per rep
+    dt = time.perf_counter() - t0
+    q.put(reps * 2 * a.nbytes / dt / 1e9)
+
+
+def parallel_membw(nprocs: int) -> float:
+    """Aggregate streaming DRAM bandwidth (GB/s) with ``nprocs``
+    concurrent readers — the scaling run's host-ceiling evidence.  This
+    single box shares ONE memory system across all 32 cores: measured
+    ~8.5 GB/s/proc at 8 procs but ~4.7 GB/s/proc at 28 (saturation at
+    ~133 GB/s aggregate), so ANY memory-touching job tops out well below
+    4x going 8->32 workers HERE, while a real 4N-node cluster brings 4x
+    the memory systems.  Emitting the probe at each scaling level lets a
+    reader separate the pipeline's scalability from the host's."""
+    import multiprocessing as mp
+
+    q = mp.Queue()
+    barrier = mp.Barrier(nprocs)
+    ps = [mp.Process(target=_membw_worker, args=(q, barrier))
+          for _ in range(nprocs)]
+    for p in ps:
+        p.start()
+    vals = [q.get() for _ in ps]
+    for p in ps:
+        p.join()
+    return round(sum(vals), 1)
+
+
 def _consume(result) -> int:
     """Fully execute a lazy result; returns row count.  count() keeps the
     final aggregation distributed — funnelling every block through a
@@ -213,6 +251,16 @@ def run_scaling(sf_dir: str, levels=None) -> dict:
     thr_lo = out[lo]["spans_per_s"]
     thr_hi = out[hi]["spans_per_s"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    # host-ceiling evidence: aggregate streaming DRAM bandwidth at each
+    # level's parallelism.  membw_scaling is how much the MEMORY SYSTEM
+    # itself scales over the pair (1.0 on a real cluster, where 4N CPUs
+    # come with 4x the memory controllers); a pure-bandwidth job can do
+    # no better than membw_scaling on this box, so the pipeline's
+    # efficiency on real hardware lies in [scaling_efficiency,
+    # scaling_efficiency / membw_scaling].
+    bw_lo = parallel_membw(lo)
+    bw_hi = parallel_membw(hi)
+    bw_scaling = (bw_hi / bw_lo) / (hi / lo)
     return {
         "sf": sf_dir,
         "query": query,
@@ -222,6 +270,9 @@ def run_scaling(sf_dir: str, levels=None) -> dict:
         f"spans_per_s_{lo}": thr_lo,
         f"spans_per_s_{hi}": thr_hi,
         "scaling_efficiency": round(eff, 3),
+        f"membw_GBps_{lo}": bw_lo,
+        f"membw_GBps_{hi}": bw_hi,
+        "membw_scaling": round(bw_scaling, 3),
         # each level's subprocess measured its own canary — a depressed
         # canary at the high level flags a load-polluted ratio
         f"canary_{lo}": out[lo].get("canary"),

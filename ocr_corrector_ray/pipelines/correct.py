@@ -29,7 +29,6 @@ runs inside the reassembly groupby, which the fused branch doesn't have.)
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import ray
@@ -112,6 +111,12 @@ def corrected_dataset(
     """
     cfg = cfg or CorrectorConfig()
     enable_hash_shuffle()
+    # Block-granularity note (r4): capping target_max_block_size to 2 MiB
+    # to shrink the corrector pool's task quantum was A/B-tested at the
+    # 16x corpus / 32 CPUs and LOST (best-of-2: 67.3 s vs 55.7 s with the
+    # parquet-natural ~5 MB blocks) — the per-task fixed costs (dict
+    # re-encode, scheduler round-trips) outweigh the tail-straggle saving.
+    # Blocks stay at the read's natural row-group granularity.
 
     def _source():
         return ray.data.read_parquet(source) if isinstance(source, str) else source
@@ -128,20 +133,23 @@ def corrected_dataset(
     # scaling measurements honest (a pool share that grows with cluster
     # size shows fake super-linear scaling).
     #
-    # Per-plan share (r4 stage audit at the 16x scaling corpus, 32 CPUs):
+    # Per-plan sizing (r4 stage audit + actor-count sweep at the 16x
+    # scaling corpus):
     # - explode: 1/2 — the pid exchange + flatten + read tasks genuinely
     #   use the other half (pool-share sweep: 16 ~= 20 ~= 24, 28 worse).
-    # - fused/hybrid: 3/4 — there is no main exchange; with a 1/2 share
-    #   the non-pool half did ~10s of total CPU work over a 66s run
-    #   (reads are even plan-dedup-cached), i.e. ~16 CPUs sat idle.
-    #   Clamped so at least one whole CPU plus the tail aggregators'
-    #   fractional holds stay free (4-CPU clusters: 3/4 of 4 = 3 actors
-    #   + 2x0.05 aggregators would leave 0.9 free and deadlock the read).
+    # - fused/hybrid: there is no main exchange, so the non-pool work
+    #   (read, flatten, hybrid tail tasks) is near-constant in ABSOLUTE
+    #   CPU terms — reserve max(2, cpus/8) whole CPUs for it and give
+    #   the rest to the pool.  Sweep at 32 CPUs: 16 actors 50.0s,
+    #   24 actors 49.4s, 28 actors 44.0s (best-of-2 each).  The 2-CPU
+    #   floor is a deadlock guard: the pool plus the tail aggregators'
+    #   fractional holds must leave a whole CPU for the transient read
+    #   task or the pipeline wedges on 4-CPU clusters.
     if concurrency is None:
         if mode == "explode":
             concurrency = max(1, cpus // 2)
         else:
-            concurrency = max(1, min((3 * cpus) // 4, int(cpus - 1.2)))
+            concurrency = max(1, cpus - max(2, -(-cpus // 8)))
     if side_ref is None:
         side_ref = ray.put(default_side_data())
 
