@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_prior_click": analytics.purchase_prior_click,
         "part_type_stats": analytics.part_type_stats,
         "top_user_per_event_type": analytics.top_user_per_event_type,
+        "range_join_value_bands": analytics.range_join_value_bands,
+        "keep_latest_events": analytics.keep_latest_events,
         # training-data tooling + multimodal plumbing (rows-only)
         "correction_pairs": _correction_pairs,
         "confusion_counts": _confusion_counts,
@@ -566,6 +568,24 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY event_type
                                           ORDER BY round(sum(value), 4) DESC, user_id) AS rn
                 FROM events GROUP BY event_type, user_id) WHERE rn = 1
+        """,
+        "range_join_value_bands": """
+            WITH bands AS (
+                SELECT k AS band_id, k * 25.0 AS lo, k * 25.0 + 37.5 AS hi
+                FROM range(0, 20) t(k)
+            )
+            SELECT b.band_id, b.lo, b.hi,
+                   count(*) AS n_events,
+                   round(sum(e.value), 2) AS sum_value
+            FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY 1, 2, 3
+        """,
+        "keep_latest_events": """
+            SELECT user_id, event_type, event_id, ts, value FROM (
+                SELECT user_id, event_type, event_id, ts, value,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) WHERE rn = 1
         """,
         "lang_quantile_chars": """
             SELECT lang, count(*) AS n_docs,

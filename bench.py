@@ -99,19 +99,27 @@ def parallel_membw(nprocs: int) -> float:
     ~133 GB/s aggregate), so ANY memory-touching job tops out well below
     4x going 8->32 workers HERE, while a real 4N-node cluster brings 4x
     the memory systems.  Emitting the probe at each scaling level lets a
-    reader separate the pipeline's scalability from the host's."""
+    reader separate the pipeline's scalability from the host's.
+
+    Best-of-2 trials after a short settle: the probe runs right after a
+    Ray session tore down, and lingering worker exits depressed single
+    trials by 2-3x (27 GB/s @ 8 procs observed vs ~70 steady)."""
     import multiprocessing as mp
 
-    q = mp.Queue()
-    barrier = mp.Barrier(nprocs)
-    ps = [mp.Process(target=_membw_worker, args=(q, barrier))
-          for _ in range(nprocs)]
-    for p in ps:
-        p.start()
-    vals = [q.get() for _ in ps]
-    for p in ps:
-        p.join()
-    return round(sum(vals), 1)
+    time.sleep(5)  # let the previous level's Ray workers finish exiting
+    best = 0.0
+    for _ in range(2):
+        q = mp.Queue()
+        barrier = mp.Barrier(nprocs)
+        ps = [mp.Process(target=_membw_worker, args=(q, barrier))
+              for _ in range(nprocs)]
+        for p in ps:
+            p.start()
+        vals = [q.get() for _ in ps]
+        for p in ps:
+            p.join()
+        best = max(best, sum(vals))
+    return round(best, 1)
 
 
 def _consume(result) -> int:

@@ -1074,3 +1074,99 @@ def extract_html_kernel(sf_dir: str):
         return pa.table({"doc_id": batch.column("doc_id"), "text": pa.array(out, pa.string())})
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def range_join_value_bands(
+    sf_dir: str,
+    band_width: float = 25.0,
+    band_span: float = 37.5,
+    n_bands: int = 20,
+):
+    """Range (interval) join: each event joins every OVERLAPPING value
+    band ``[k*w, k*w + span)`` it falls in (span = 1.5w, so a value can
+    match two bands — a genuine interval join, not a bucketing), then
+    per-band aggregates.
+
+    Ray-Data-first plan: the interval side here is SMALL and static, so
+    it is never shuffled at all — each batch computes its candidate band
+    ids VECTORIZED (a value can only fall in the ``ceil(span/w)``
+    consecutive bands ending at ``floor(v/w)``, so candidate generation
+    is two numpy ops, not an interval scan), bound-checks them, and
+    partially aggregates in-batch; the exchange carries at most
+    ``n_bands`` rows per batch.  For a LARGE interval side the same
+    kernel becomes a coarse-bucket co-partition: hash intervals to every
+    ``floor(lo/w)..floor(hi/w)`` bucket they overlap and events to
+    ``floor(v/w)``, then run this in-bucket candidate check per bucket —
+    the replication factor is span/w, bounded by construction."""
+    from ._agg import grouped_agg
+
+    w, span = float(band_width), float(band_span)
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype="float64")
+        k0 = np.floor(v / w).astype("int64")
+        # candidates: k0 and k0-1 (span < 2w means no value reaches k0-2)
+        cand_k = np.concatenate([k0, k0 - 1])
+        cand_v = np.concatenate([v, v])
+        lo = cand_k * w
+        keep = (cand_v >= lo) & (cand_v < lo + span) & (cand_k >= 0) & (cand_k < n_bands)
+        ck, cv = cand_k[keep], cand_v[keep]
+        agg = pd.DataFrame({"band_id": ck, "value": cv}).groupby(
+            "band_id", as_index=False
+        ).agg(n_events=("value", "size"), sum_value=("value", "sum"))
+        agg["n_events"] = agg["n_events"].astype("int64")
+        return agg
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(
+            lo=g["band_id"] * w,
+            hi=g["band_id"] * w + span,
+            sum_value=g["sum_value"].round(2),
+        )
+        return g[["band_id", "lo", "hi", "n_events", "sum_value"]]
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["band_id"],
+        {"n_events": ("n_events", "sum"), "sum_value": ("sum_value", "sum")},
+        finish_fn=finish,
+    )
+
+
+def keep_latest_events(sf_dir: str, num_buckets: int | None = None):
+    """Keep-latest compaction (upsert semantics): one surviving row per
+    (user_id, event_type) — the latest by ``ts``, ties broken by the
+    larger ``event_id``.  The canonical 100-TB "collapse an append log to
+    current state" operator (latest crawl of a URL, newest version of a
+    document).
+
+    In-batch combiner first: each batch keeps only ITS latest row per
+    key, so the exchange carries at most |distinct keys| rows per batch
+    regardless of log length; survivors co-locate by key hash into a
+    coarse bucket (per-bucket memory = |keys|/P, decoupled physical
+    partition count) and one vectorized sort+drop_duplicates per bucket
+    finishes — per-key work never leaves C."""
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+
+    num_buckets = num_buckets or default_num_buckets()
+    cols = ["user_id", "event_type", "event_id", "ts", "value"]
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=cols)
+
+    def latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        return df.drop_duplicates(["user_id", "event_type"], keep="last")
+
+    def add_bucket(df: pd.DataFrame):
+        df = latest(df)  # combiner: local keep-latest before the exchange
+        h = pd.util.hash_pandas_object(df[["user_id", "event_type"]], index=False)
+        return arrow_out(df.assign(bucket=(h % num_buckets).astype("int32")))
+
+    def per_bucket(df: pd.DataFrame):
+        return arrow_out(latest(df)[cols])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket", num_partitions=physical_partitions(num_buckets))
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -133,23 +133,27 @@ def corrected_dataset(
     # scaling measurements honest (a pool share that grows with cluster
     # size shows fake super-linear scaling).
     #
-    # Per-plan sizing (r4 stage audit + actor-count sweep at the 16x
-    # scaling corpus):
+    # Per-plan share (r4 stage audit at the 16x scaling corpus, 32 CPUs):
     # - explode: 1/2 — the pid exchange + flatten + read tasks genuinely
     #   use the other half (pool-share sweep: 16 ~= 20 ~= 24, 28 worse).
-    # - fused/hybrid: there is no main exchange, so the non-pool work
-    #   (read, flatten, hybrid tail tasks) is near-constant in ABSOLUTE
-    #   CPU terms — reserve max(2, cpus/8) whole CPUs for it and give
-    #   the rest to the pool.  Sweep at 32 CPUs: 16 actors 50.0s,
-    #   24 actors 49.4s, 28 actors 44.0s (best-of-2 each).  The 2-CPU
-    #   floor is a deadlock guard: the pool plus the tail aggregators'
-    #   fractional holds must leave a whole CPU for the transient read
-    #   task or the pipeline wedges on 4-CPU clusters.
+    # - fused/hybrid: 3/4 — there is no main exchange; with a 1/2 share
+    #   the non-pool half did ~10s of total CPU work over a 66s run
+    #   (reads are even plan-dedup-cached), i.e. ~16 CPUs sat idle.
+    #   Clamped so at least one whole CPU plus the tail aggregators'
+    #   fractional holds stay free (4-CPU clusters: 3/4 of 4 = 3 actors
+    #   + 2x0.05 aggregators would leave 0.9 free and deadlock the read).
+    #   An ABSOLUTE reserve (cpus - max(2, cpus/8), i.e. 28 actors at 32
+    #   CPUs) measured 44.0s vs 24 actors' 49.4s in one quiet-host sweep,
+    #   but (a) the delta is inside the same host's day-to-day noise band
+    #   (28 actors re-measured 48.0-50.6s the next day) and (b) a pool
+    #   share that GROWS with cluster size (50% at 4 CPUs, 87.5% at 32)
+    #   inflates measured scaling — a 4/16 run under it reported a fake
+    #   1.33 efficiency.  The share stays PROPORTIONAL.
     if concurrency is None:
         if mode == "explode":
             concurrency = max(1, cpus // 2)
         else:
-            concurrency = max(1, cpus - max(2, -(-cpus // 8)))
+            concurrency = max(1, min((3 * cpus) // 4, int(cpus - 1.2)))
     if side_ref is None:
         side_ref = ray.put(default_side_data())
 

@@ -84,10 +84,15 @@ def reassemble_partition(part: pa.Table) -> pa.Table:
         part, sort_keys=[("doc_id", "ascending"), ("offset", "ascending")]
     )
     part = part.take(idx)
-    doc = part.column("doc_id")
-    d = np.asarray(doc.to_pandas(), dtype=object)
-    starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
-    offsets = np.append(starts, len(d)).astype(np.int32)
+    # run-length scan stays in Arrow: offset-1 slice equality finds doc
+    # boundaries with no pandas object-array copy of the string column
+    doc = part.column("doc_id").combine_chunks()
+    n = len(doc)
+    neq = pc.invert(pc.equal(doc.slice(1, n - 1), doc.slice(0, n - 1)))
+    starts = np.concatenate(
+        ([0], np.flatnonzero(np.asarray(pc.fill_null(neq, True))) + 1)
+    )
+    offsets = np.append(starts, n).astype(np.int32)
 
     struct = pa.StructArray.from_arrays(
         [
@@ -99,7 +104,7 @@ def reassemble_partition(part: pa.Table) -> pa.Table:
         fields=list(SPAN_TYPE),
     )
     spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
-    return pa.table({"doc_id": pa.array(d[starts], pa.string()), "spans": spans})
+    return pa.table({"doc_id": doc.take(pa.array(starts)), "spans": spans})
 
 
 def reassemble(ds, num_partitions: int, per_group=None, has_pid: bool = False):

@@ -60,6 +60,31 @@ def test_every_sql_oracle_has_a_query():
         assert name in q
 
 
+def test_range_join_bands_actually_overlap(ray_session, con):
+    """The interval join must be a genuine range join: overlapping bands
+    mean the per-band event counts SUM to more than the matched-event
+    count (rows joining two bands are counted twice)."""
+    got = entrymod.queries()["range_join_value_bands"](SF_DIR).to_pandas()
+    n_events = con.execute("SELECT count(*) FROM events WHERE value >= 0 AND value < 512.5").fetchone()[0]
+    assert got["n_events"].sum() > n_events  # overlap exercised
+    assert (got["hi"] - got["lo"] == 37.5).all()
+
+
+def test_keep_latest_is_one_row_per_key(ray_session, con):
+    got = entrymod.queries()["keep_latest_events"](SF_DIR).to_pandas()
+    n_keys = con.execute(
+        "SELECT count(*) FROM (SELECT DISTINCT user_id, event_type FROM events)"
+    ).fetchone()[0]
+    assert len(got) == n_keys
+    assert not got.duplicated(["user_id", "event_type"]).any()
+    # survivors carry each key's max ts
+    mx = con.execute(
+        "SELECT user_id, event_type, max(ts) AS ts FROM events GROUP BY 1, 2"
+    ).df()
+    m = got.merge(mx, on=["user_id", "event_type"], suffixes=("", "_max"))
+    assert (m["ts"] == m["ts_max"]).all()
+
+
 def test_entry_runs(ray_session):
     ds = entrymod.entry()
     n = ds.count()
