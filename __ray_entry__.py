@@ -228,6 +228,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_ratio": textstats.dup_ngram_ratio,
         "pack_sequences": textstats.pack_sequences,
         "curated_docs": textstats.curated_docs,
+        "decontaminate_docs": textstats.decontaminate_docs,
+        "domain_quota_docs": analytics.domain_quota_docs,
+        "quality_percentile_docs": analytics.quality_percentile_docs,
         "approx_distinct_tokens": _approx_distinct_tokens,
         "heavy_hitter_tokens": _heavy_hitter_tokens,
         # extraction-kernel conformance: the flagship's PDF/HTML extraction
@@ -782,6 +785,33 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c
             SEMI JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
               ON o.o_custkey = c.c_custkey
+        """,
+        "decontaminate_docs": r"""
+            WITH tk AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            grams AS (
+                SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+                FROM tk, UNNEST(range(1, greatest(len(t) - 1, 1))) AS u(i)),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+            SELECT grams.doc_id, count(*) AS n_hits
+            FROM grams JOIN bench USING (g)
+            WHERE grams.doc_id % 97 <> 0
+            GROUP BY 1
+        """,
+        "domain_quota_docs": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id) AS rn
+                FROM documents) WHERE rn <= 10
+        """,
+        "quality_percentile_docs": """
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN (
+                SELECT lang, quantile_disc(n_chars, 0.9) AS cut
+                FROM documents GROUP BY 1) t USING (lang)
+            WHERE d.n_chars >= t.cut
         """,
         "doc_token_entropy": r"""
             WITH tk AS (

@@ -1170,3 +1170,86 @@ def keep_latest_events(sf_dir: str, num_buckets: int | None = None):
         .groupby("bucket", num_partitions=physical_partitions(num_buckets))
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def domain_quota_docs(sf_dir: str, k: int = 10):
+    """Per-domain quota capping: keep at most ``k`` documents per
+    ``source``, preferring longer docs (``n_chars`` DESC, ``doc_id`` ASC
+    ties) — the "don't let one crawl domain dominate the training mix"
+    operator in LLM data curation.
+
+    Scale shape: an in-batch combiner keeps each batch's local top-k per
+    source first, so the exchange carries at most k rows per (batch,
+    source) no matter how skewed a domain is; survivors co-locate by
+    hash(source) into coarse buckets (per-bucket memory ≤ |sources|·k/P)
+    and one vectorized sort + groupby-head per bucket finishes.  The
+    doc text never crosses the exchange — only (doc_id, source,
+    n_chars)."""
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+
+    num_buckets = default_num_buckets()
+    cols = ["doc_id", "source", "n_chars"]
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=cols)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True],
+                            kind="mergesort")
+        return df.groupby("source", as_index=False, sort=False).head(k)
+
+    def add_bucket(df: pd.DataFrame):
+        df = topk(df)  # combiner: local quota before the exchange
+        h = pd.util.hash_pandas_object(df["source"], index=False)
+        return arrow_out(df.assign(bucket=(h % num_buckets).astype("int32")))
+
+    def per_bucket(df: pd.DataFrame):
+        return arrow_out(topk(df)[cols])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket", num_partitions=physical_partitions(num_buckets))
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def quality_percentile_docs(sf_dir: str, q: float = 0.9):
+    """Two-pass global-statistic filter: keep documents at or above
+    their language's ``q``-th length percentile (quantile_disc
+    semantics, exact via the same cumulative-histogram trick as
+    lang_quantile_chars) — the canonical "filter by a corpus-level
+    threshold you don't know until you've seen the corpus" shape
+    (quality-score cutoffs, perplexity bands).
+
+    Pass 1 reduces to a |langs| x |distinct lengths| histogram and reads
+    the thresholds off it (driver table is histogram-sized, never
+    corpus-sized); pass 2 re-streams the corpus and applies the
+    broadcast thresholds batch-locally.  No full-corpus sort — the
+    naive per-group quantile would pull a whole language's lengths into
+    one task."""
+    from ._agg import grouped_agg
+
+    cols = ["doc_id", "lang", "n_chars"]
+    hist = grouped_agg(
+        ray.data.read_parquet(_p(sf_dir, "documents"), columns=["lang", "n_chars"]),
+        ["lang", "n_chars"], {"cnt": ("n_chars", "size")},
+    )
+
+    def thresh(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("n_chars")
+        cum = df["cnt"].cumsum().to_numpy()
+        pos = int(np.ceil(int(cum[-1]) * q))  # 1-based quantile_disc rank
+        cut = int(df["n_chars"].to_numpy()[np.searchsorted(cum, pos)])
+        return pd.DataFrame({"lang": [df["lang"].iloc[0]], "cut": [cut]})
+
+    cuts = {
+        r["lang"]: r["cut"]
+        for r in hist.groupby("lang")
+        .map_groups(thresh, batch_format="pandas")
+        .take_all()
+    }
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["n_chars"] >= df["lang"].map(cuts).to_numpy()]
+
+    return ray.data.read_parquet(_p(sf_dir, "documents"), columns=cols).map_batches(
+        keep, batch_format="pandas"
+    )

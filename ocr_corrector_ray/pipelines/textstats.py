@@ -520,3 +520,92 @@ def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 2,
         .groupby("__dbkt", num_partitions=phys)
         .map_groups(topk, batch_format="pandas")
     )
+
+
+def decontaminate_docs(sf_dir: str, n: int = 3, bench_mod: int = 97):
+    """Benchmark decontamination: flag corpus documents sharing any token
+    ``n``-gram with a held-out benchmark set — the standard "did eval
+    data leak into training data" check in LLM pipelines (GPT-3/PaLM
+    style 13-gram overlap; ``n`` defaults low because the synthetic
+    corpus has a small vocabulary).  The benchmark set is the
+    deterministic subset ``doc_id % bench_mod == 0`` of the same table,
+    so the operator is self-contained and fully SQL-checkable.
+
+    Scale shape: the benchmark side is eval-set-sized (tiny vs the
+    corpus) — its distinct grams are collected ONCE on the driver and
+    broadcast via ``ray.put``; the corpus pass is one streaming
+    ``map_batches`` doing a vectorized membership probe (exploded token
+    frame, shifted-concat gram build, one ``isin`` per batch, bincount
+    per doc) — no shuffle anywhere.  Emits (doc_id, n_hits) for
+    contaminated docs only; hits count gram POSITIONS, so a doc
+    repeating a leaked phrase scores higher."""
+    import ray
+
+    cols = ["doc_id", "text"]
+    path = _p(sf_dir, "documents")
+
+    def gram_positions(df: pd.DataFrame):
+        """flat (doc_row, gram) arrays for every n-gram position."""
+        toks = df["text"].fillna("").str.split()
+        lens = toks.str.len().to_numpy(dtype="int64")
+        flat = toks.explode(ignore_index=True).astype(object)
+        if not len(flat) or flat.isna().all():
+            return np.empty(0, dtype="int64"), pd.Series([], dtype=object)
+        flat = flat.fillna("")
+        doc_of = np.repeat(np.arange(len(df), dtype="int64"), lens)
+        gram = flat.copy()
+        for j in range(1, n):
+            gram = gram + " " + flat.shift(-j).fillna("")
+        # a position is valid when the whole window stays in one doc
+        valid = np.zeros(len(flat), dtype=bool)
+        if len(doc_of) >= n:
+            valid[: len(doc_of) - (n - 1)] = (
+                doc_of[: len(doc_of) - (n - 1)] == doc_of[n - 1 :]
+            )
+        return doc_of[valid], gram[valid]
+
+    # pass 1 (benchmark side, bounded): per-batch DISTINCT grams of the
+    # held-out docs stream to the driver; union into one frozen set.
+    bench_ds = ray.data.read_parquet(path, columns=cols)
+
+    def bench_grams(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % bench_mod == 0]
+        if not len(df):
+            return pd.DataFrame({"g": pd.Series([], dtype=object)})
+        _, grams = gram_positions(df)
+        return pd.DataFrame({"g": grams.drop_duplicates()})
+
+    bench_set = set()
+    for b in bench_ds.map_batches(bench_grams, batch_format="pandas").iter_batches(
+        batch_format="pandas"
+    ):
+        bench_set.update(b["g"])
+    bench_ref = ray.put(frozenset(bench_set))
+
+    # pass 2 (corpus side, streaming): actor pool so the gram set is
+    # deserialized ONCE per worker (per-batch ray.get would re-inflate
+    # the frozenset every call), then one vectorized isin per batch
+    class Probe:
+        def __init__(self, ref):
+            self.bench = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["doc_id"] % bench_mod != 0].reset_index(drop=True)
+            if not len(df) or not self.bench:
+                return pd.DataFrame({
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_hits": pd.Series([], dtype="int64"),
+                })
+            doc_of, grams = gram_positions(df)
+            hit = grams.isin(self.bench).to_numpy()
+            counts = np.bincount(doc_of[hit], minlength=len(df))
+            keep = counts > 0
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(dtype="int64")[keep],
+                "n_hits": counts[keep].astype("int64"),
+            })
+
+    return ray.data.read_parquet(path, columns=cols).map_batches(
+        Probe, fn_constructor_kwargs={"ref": bench_ref},
+        batch_format="pandas", concurrency=(1, 8)
+    )

@@ -85,6 +85,36 @@ def test_keep_latest_is_one_row_per_key(ray_session, con):
     assert (m["ts"] == m["ts_max"]).all()
 
 
+def test_decontaminate_excludes_benchmark_docs(ray_session):
+    got = entrymod.queries()["decontaminate_docs"](SF_DIR).to_pandas()
+    assert len(got) > 0  # the synthetic corpus does leak 3-grams
+    assert (got["doc_id"] % 97 != 0).all()  # bench docs never flag themselves
+    assert (got["n_hits"] >= 1).all()
+
+
+def test_domain_quota_caps_every_source(ray_session, con):
+    got = entrymod.queries()["domain_quota_docs"](SF_DIR).to_pandas()
+    sizes = con.execute(
+        "SELECT source, count(*) AS n FROM documents GROUP BY 1"
+    ).df().set_index("source")["n"]
+    kept = got.groupby("source").size()
+    assert (kept <= 10).all()
+    # every source keeps exactly min(10, its size) docs
+    assert all(kept.get(s, 0) == min(10, n) for s, n in sizes.items())
+
+
+def test_quality_percentile_keeps_top_decile(ray_session, con):
+    got = entrymod.queries()["quality_percentile_docs"](SF_DIR).to_pandas()
+    n_lang = con.execute(
+        "SELECT lang, count(*) AS n FROM documents GROUP BY 1"
+    ).df().set_index("lang")["n"]
+    kept = got.groupby("lang").size()
+    for lang, n in n_lang.items():
+        # quantile_disc(0.9) keeps at least the strict top decile and,
+        # with ties, possibly more — but never the whole language
+        assert 1 <= kept.get(lang, 0) <= max(1, n // 2)
+
+
 def test_entry_runs(ray_session):
     ds = entrymod.entry()
     n = ds.count()
