@@ -202,6 +202,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_user_per_event_type": analytics.top_user_per_event_type,
         "range_join_value_bands": analytics.range_join_value_bands,
         "keep_latest_events": analytics.keep_latest_events,
+        "events_rollup": analytics.events_rollup,
+        "event_type_pivot": analytics.event_type_pivot,
+        "user_value_delta": analytics.user_value_delta,
         # training-data tooling + multimodal plumbing (rows-only)
         "correction_pairs": _correction_pairs,
         "confusion_counts": _confusion_counts,
@@ -589,6 +592,30 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY user_id, event_type
                                           ORDER BY ts DESC, event_id DESC) AS rn
                 FROM events) WHERE rn = 1
+        """,
+        "events_rollup": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(hour, -1) AS hour,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour, value
+                  FROM events)
+            GROUP BY ROLLUP (event_type, hour)
+        """,
+        "event_type_pivot": """
+            SELECT user_id,
+                   round(coalesce(sum(value) FILTER (event_type = 'click'), 0), 2) AS sum_click,
+                   round(coalesce(sum(value) FILTER (event_type = 'error'), 0), 2) AS sum_error,
+                   round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0), 2) AS sum_purchase,
+                   round(coalesce(sum(value) FILTER (event_type = 'signup'), 0), 2) AS sum_signup,
+                   round(coalesce(sum(value) FILTER (event_type = 'view'), 0), 2) AS sum_view
+            FROM events GROUP BY user_id
+        """,
+        "user_value_delta": """
+            SELECT event_id,
+                   round(value - lag(value) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id), 4) AS delta
+            FROM events
         """,
         "lang_quantile_chars": """
             SELECT lang, count(*) AS n_docs,

@@ -1253,3 +1253,126 @@ def quality_percentile_docs(sf_dir: str, q: float = 0.9):
     return ray.data.read_parquet(_p(sf_dir, "documents"), columns=cols).map_batches(
         keep, batch_format="pandas"
     )
+
+
+def events_rollup(sf_dir: str):
+    """ROLLUP aggregate: value sums at three grains — (event_type, hour
+    of day), (event_type), grand total — in ONE corpus pass.  The
+    fine-grain histogram is bounded (|types| x 24), so the coarser
+    levels re-aggregate that histogram, not the corpus; rollup columns
+    use sentinel NULLs exactly like SQL ROLLUP.
+
+    At 100 TB only the first grouped_agg touches data (with in-batch
+    combiners); everything after runs over ≤ a few hundred rows."""
+    from ._agg import grouped_agg
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def add_hour(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "hour": df["ts"].dt.hour.astype("int64"),
+            "value": df["value"],
+        })
+
+    fine = grouped_agg(
+        ds.map_batches(add_hour, batch_format="pandas"),
+        ["event_type", "hour"],
+        {"n_events": ("value", "size"), "sum_value": ("value", "sum")},
+    )
+
+    def levels(df: pd.DataFrame) -> pd.DataFrame:
+        # histogram-sized input: emit all three rollup grains from it;
+        # rollup positions use SENTINELS ('ALL'/-1) rather than typed
+        # NULLs so the int64/varchar schema is identical at every grain
+        by_type = df.groupby("event_type", as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+        by_type["hour"] = np.int64(-1)
+        total = pd.DataFrame({
+            "event_type": ["ALL"], "hour": np.array([-1], dtype="int64"),
+            "n_events": [df["n_events"].sum()],
+            "sum_value": [df["sum_value"].sum()],
+        })
+        out = pd.concat([df, by_type, total], ignore_index=True)
+        out["sum_value"] = out["sum_value"].round(2)
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["event_type", "hour", "n_events", "sum_value"]]
+
+    # one partition holds the whole (tiny) histogram for the upper grains
+    return fine.repartition(1).map_batches(
+        levels, batch_format="pandas", batch_size=None
+    )
+
+
+def event_type_pivot(sf_dir: str):
+    """Pivot the event log into one wide row per user: a column of
+    summed value per event type (the 'long → wide feature table' step
+    before model training).  The type list is discovered from a bounded
+    distinct pass; the pivot itself is a grouped_agg over user_id with
+    one in-batch filtered partial sum per type — the exchange carries
+    |users| x (|types|+1) numbers, never the event log."""
+    from ._agg import grouped_agg
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type", "value"])
+
+    def batch_types(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": df["event_type"].drop_duplicates()})
+
+    types = sorted({
+        t
+        for b in ds.map_batches(batch_types, batch_format="pandas").iter_batches(
+            batch_format="pandas")
+        for t in b["event_type"]
+    })
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.pivot_table(index="user_id", columns="event_type",
+                           values="value", aggfunc="sum", fill_value=0.0)
+        p = p.reindex(columns=types, fill_value=0.0)
+        p.columns = [f"sum_{t}" for t in p.columns]
+        return p.reset_index()
+
+    aggs = {f"sum_{t}": (f"sum_{t}", "sum") for t in types}
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        for t in types:
+            g[f"sum_{t}"] = g[f"sum_{t}"].round(2)
+        return g
+
+    return grouped_agg(
+        ds.map_batches(widen, batch_format="pandas"),
+        ["user_id"], aggs, finish_fn=finish,
+    )
+
+
+def user_value_delta(sf_dir: str, num_buckets: int | None = None):
+    """LAG window: each event's value minus the same user's previous
+    event value (ordered by ts, event_id); a user's first event has
+    delta NULL — `value - LAG(value) OVER (PARTITION BY user ORDER BY
+    ts)`.  Same coarse-bucket shape as user_running_value: users hash
+    into buckets, ONE vectorized sort + groupby shift per bucket."""
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+
+    num_buckets = num_buckets or default_num_buckets()
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def add_bucket(df: pd.DataFrame):
+        return arrow_out(df.assign(bucket=(df["user_id"] % num_buckets).astype("int32")))
+
+    def per_bucket(df: pd.DataFrame):
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        prev = df.groupby("user_id")["value"].shift(1)
+        return arrow_out(
+            pd.DataFrame({
+                "event_id": df["event_id"],
+                "delta": (df["value"] - prev).round(4),
+            })
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket", num_partitions=physical_partitions(num_buckets))
+        .map_groups(per_bucket, batch_format="pandas")
+    )
