@@ -203,6 +203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_value_bands": analytics.range_join_value_bands,
         "keep_latest_events": analytics.keep_latest_events,
         "events_rollup": analytics.events_rollup,
+        "shipping_priority": analytics.shipping_priority,
+        "doc_length_decile": analytics.doc_length_decile,
         "event_type_pivot": analytics.event_type_pivot,
         "user_value_delta": analytics.user_value_delta,
         # training-data tooling + multimodal plumbing (rows-only)
@@ -592,6 +594,26 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY user_id, event_type
                                           ORDER BY ts DESC, event_id DESC) AS rn
                 FROM events) WHERE rn = 1
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, revenue, o_orderdate, o_orderpriority FROM (
+                SELECT l.l_orderkey,
+                       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                       o.o_orderdate, o.o_orderpriority
+                FROM customer c, orders o, lineitem l
+                WHERE c.c_mktsegment = 'BUILDING'
+                  AND c.c_custkey = o.o_custkey
+                  AND l.l_orderkey = o.o_orderkey
+                  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+                  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+                GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority)
+            ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+        """,
+        "doc_length_decile": """
+            SELECT doc_id, n_chars,
+                   CAST(least(ceil(cume_dist() OVER (ORDER BY n_chars) * 10), 10)
+                        AS BIGINT) AS decile
+            FROM documents
         """,
         "events_rollup": """
             SELECT coalesce(event_type, 'ALL') AS event_type,

@@ -1376,3 +1376,140 @@ def user_value_delta(sf_dir: str, num_buckets: int | None = None):
         .groupby("bucket", num_partitions=physical_partitions(num_buckets))
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      cutoff: str = "1998-01-01", k: int = 10,
+                      num_buckets: int | None = None):
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with predicates on
+    all three tables, per-order revenue, global top-k.  The join
+    strategy is tiered by side size: the filtered customer-key set is
+    the SMALL side (broadcast once via ray.put, probed with a sorted
+    np.isin per orders batch — no customer shuffle); orders ⋈ lineitem
+    are BOTH large, so they take the union-tag partitioned hash join on
+    orderkey.  Each order lives wholly in one bucket, so the per-bucket
+    revenue groupby + head(k) is an EXACT global-top-k prefilter: the
+    final sort sees ≤ P·k rows."""
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+
+    num_buckets = num_buckets or default_num_buckets()
+    cut = pd.Timestamp(cutoff)
+
+    cust = ray.data.read_parquet(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = []
+    for b in cust.map_batches(
+        lambda df: pd.DataFrame(
+            {"k": df.loc[df["c_mktsegment"] == segment, "c_custkey"]}
+        ),
+        batch_format="pandas",
+    ).iter_batches(batch_format="pandas"):
+        keys.append(b["k"].to_numpy(dtype="int64"))
+    ckeys = np.sort(np.concatenate(keys)) if keys else np.empty(0, "int64")
+    ckeys_ref = ray.put(ckeys)
+
+    orders = ray.data.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    items = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    class TagOrders:
+        def __init__(self, ref):
+            self.ckeys = ray.get(ref)  # sorted custkey vector, probed in C
+
+        def __call__(self, df: pd.DataFrame):
+            m = (df["o_orderdate"] < cut) & np.isin(
+                df["o_custkey"].to_numpy(dtype="int64"), self.ckeys,
+                assume_unique=False,
+            )
+            df = df[m].reset_index(drop=True)
+            return arrow_out(pd.DataFrame({
+                "key": df["o_orderkey"],
+                "bucket": (df["o_orderkey"] % num_buckets).astype("int32"),
+                "o_orderdate": df["o_orderdate"],
+                "o_orderpriority": df["o_orderpriority"],
+                "revenue": np.nan,
+                "side": "o",
+            }), null_casts={"o_orderpriority": pa.string()})
+
+    def tag_items(df: pd.DataFrame):
+        # reset_index: the fresh NaT/None fill series below carry a
+        # RangeIndex; building the frame from the filtered (gappy) index
+        # would align on the index UNION and inject NaN join keys
+        df = df[df["l_shipdate"] > cut].reset_index(drop=True)
+        return arrow_out(pd.DataFrame({
+            "key": df["l_orderkey"],
+            "bucket": (df["l_orderkey"] % num_buckets).astype("int32"),
+            "o_orderdate": pd.Series([pd.NaT] * len(df), dtype="datetime64[us]"),
+            "o_orderpriority": pd.Series([None] * len(df), dtype="object"),
+            "revenue": df["l_extendedprice"] * (1 - df["l_discount"]),
+            "side": "l",
+        }), null_casts={"o_orderpriority": pa.string()})
+
+    both = orders.map_batches(
+        TagOrders, fn_constructor_kwargs={"ref": ckeys_ref},
+        batch_format="pandas", concurrency=(1, 4),
+    ).union(items.map_batches(tag_items, batch_format="pandas"))
+
+    def join_bucket(df: pd.DataFrame):
+        o = df[df["side"] == "o"][["key", "o_orderdate", "o_orderpriority"]]
+        l = df[df["side"] == "l"][["key", "revenue"]]
+        merged = l.merge(o, on="key", how="inner")
+        g = merged.groupby(
+            ["key", "o_orderdate", "o_orderpriority"], as_index=False
+        ).agg(revenue=("revenue", "sum"))
+        g["revenue"] = g["revenue"].round(2)
+        g = g.sort_values(["revenue", "o_orderdate", "key"],
+                          ascending=[False, True, True]).head(k)
+        return arrow_out(pd.DataFrame({
+            "l_orderkey": g["key"].astype("int64"),
+            "revenue": g["revenue"],
+            "o_orderdate": g["o_orderdate"],
+            "o_orderpriority": g["o_orderpriority"],
+        }), null_casts={"o_orderpriority": pa.string()})
+
+    winners = both.groupby(
+        "bucket", num_partitions=physical_partitions(num_buckets)
+    ).map_groups(join_bucket, batch_format="pandas")
+    # ≤ P·k winner rows: the global sort is trivially small
+    return winners.sort(
+        ["revenue", "o_orderdate", "l_orderkey"], descending=[True, False, False]
+    ).limit(k)
+
+
+def doc_length_decile(sf_dir: str):
+    """Global rank statistic WITHOUT a global sort: each doc's length
+    decile via cumulative distribution — ``ceil(cume_dist * 10)`` where
+    cume_dist = (# docs with n_chars ≤ mine) / N.  One bounded
+    histogram pass (distinct lengths, in-batch combiners) builds the
+    value → decile map on the driver; a second streaming pass applies
+    it.  cume_dist needs no within-tie ordering, so the result is fully
+    deterministic and engine-independent — the scalable stand-in for
+    NTILE-style bucketing at 100 TB."""
+    from ._agg import grouped_agg
+
+    hist = grouped_agg(
+        ray.data.read_parquet(_p(sf_dir, "documents"), columns=["n_chars"]),
+        ["n_chars"], {"cnt": ("n_chars", "size")},
+    ).to_pandas()  # bounded: one row per distinct length
+    hist = hist.sort_values("n_chars")
+    cum = hist["cnt"].cumsum().to_numpy(dtype="float64")
+    n = cum[-1] if len(cum) else 1.0
+    decile = np.minimum(np.ceil(cum / n * 10), 10).astype("int64")
+    dmap = dict(zip(hist["n_chars"].to_numpy(), decile))
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_chars": df["n_chars"],
+            "decile": df["n_chars"].map(dmap).astype("int64"),
+        })
+
+    return ray.data.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "n_chars"]
+    ).map_batches(apply, batch_format="pandas")

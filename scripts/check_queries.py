@@ -51,6 +51,16 @@ def main():
 
     DataContext.get_current().enable_progress_bars = False
 
+    # mirror the driver's gate faithfully: it runs every query in ONE
+    # session where the flagship queries flip the context to
+    # HASH_SHUFFLE first, so all later queries run under that strategy.
+    # A selective run here would otherwise skip the flip and miss
+    # strategy-sensitive bugs (a shipping_priority index-alignment bug
+    # passed the default-strategy gate and failed under hash shuffle).
+    from ocr_corrector_ray.pipelines.correct import enable_hash_shuffle
+
+    enable_hash_shuffle()
+
     import __ray_entry__ as e
 
     con = duckdb.connect()
