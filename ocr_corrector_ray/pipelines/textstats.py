@@ -548,10 +548,13 @@ def decontaminate_docs(sf_dir: str, n: int = 3, bench_mod: int = 97):
         """flat (doc_row, gram) arrays for every n-gram position."""
         toks = df["text"].fillna("").str.split()
         lens = toks.str.len().to_numpy(dtype="int64")
+        # explode() emits one NaN row for an EMPTY token list — drop
+        # those so positions stay aligned with np.repeat(lens) below
+        # (lens counts an empty doc as 0 tokens, explode would add 1)
         flat = toks.explode(ignore_index=True).astype(object)
-        if not len(flat) or flat.isna().all():
+        flat = flat[flat.notna()].reset_index(drop=True)
+        if not len(flat):
             return np.empty(0, dtype="int64"), pd.Series([], dtype=object)
-        flat = flat.fillna("")
         doc_of = np.repeat(np.arange(len(df), dtype="int64"), lens)
         gram = flat.copy()
         for j in range(1, n):

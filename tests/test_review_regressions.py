@@ -131,3 +131,28 @@ def test_custom_keywords_file_honored(tmp_path):
     kwf.write_text("自定义关键词\n另一个词\n", encoding="utf-8")
     sc = SpanCorrector(CorrectorConfig(keywords_file=str(kwf)))
     assert sc.res.keywords == {"自定义关键词", "另一个词"}
+
+
+def test_decontaminate_handles_empty_text_docs(ray_session, tmp_path):
+    """explode() emits a spurious NaN row for an empty token list; the
+    gram scan must stay position-aligned when a batch mixes empty and
+    non-empty docs (regression: IndexError / wrong doc attribution)."""
+    import pyarrow.parquet as pq
+
+    from ocr_corrector_ray.pipelines.textstats import decontaminate_docs
+
+    t = pa.table({
+        # doc 0 is the benchmark doc (0 % 97 == 0); doc 5 repeats its
+        # 3-gram; docs 1/2 are empty/whitespace traps between them
+        "doc_id": pa.array([0, 1, 2, 5], pa.int64()),
+        "text": pa.array(["alpha beta gamma delta", "", "   ",
+                          "alpha beta gamma"], pa.string()),
+        "lang": pa.array(["en"] * 4), "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([22, 0, 3, 16], pa.int64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    got = decontaminate_docs(str(d)).to_pandas().sort_values("doc_id")
+    assert got["doc_id"].tolist() == [5]
+    assert got["n_hits"].tolist() == [1]
