@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "events_hourly",
     "tfidf_top_terms",
     "simhash_neardup_pairs",
+    "shipping_priority",    # 3-way partitioned join + exact top-k (r4)
+    "keep_latest_events",   # upsert compaction with in-batch combiner (r4)
 ]
 HEADLINE = "ocr_correct"
 
@@ -245,16 +247,40 @@ def run_scaling(sf_dir: str, levels=None) -> dict:
     path = datagen.corpus_path(n_docs)
     pads.dataset(path).to_table()
 
+    # Load-aware protocol: this box is multi-tenant and its effective
+    # speed swings ~2x within minutes (the canary documents it run by
+    # run).  A level whose canary shows the host was busy measures the
+    # NEIGHBORS, not this code — so re-measure such a level up to
+    # GRAFT_SCALING_TRIES(3) times and keep the attempt with the best
+    # (lowest) canary.  Every attempt's canary is kept in the output, so
+    # a polluted record is visible, never hidden.  The quiet reference
+    # matmul (0.14 s) is pinned from repeated idle-host measurements.
+    quiet_matmul = float(os.environ.get("GRAFT_QUIET_MATMUL", "0.14"))
+    max_tries = int(os.environ.get("GRAFT_SCALING_TRIES", "3"))
+
     out = {}
+    attempts_log = {}
     for ncpu in levels:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
                    GRAFT_BENCH_ONLY=query, GRAFT_BENCH_DOCS=str(n_docs),
                    GRAFT_BENCH_REPEAT=repeat)
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            capture_output=True, text=True, check=True, env=env,
-        )
-        out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+        best = None
+        tries = []
+        for _ in range(max_tries):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True, text=True, check=True, env=env,
+            )
+            res = json.loads(proc.stdout.strip().splitlines()[-1])
+            c = (res.get("canary") or {}).get("matmul_s", quiet_matmul)
+            tries.append({"sec": res["value"], "canary_matmul_s": c})
+            if best is None or c < (best.get("canary") or {}).get(
+                    "matmul_s", float("inf")):
+                best = res
+            if c <= 1.25 * quiet_matmul:
+                break  # host quiet enough: this attempt stands
+        out[ncpu] = best
+        attempts_log[ncpu] = tries
     lo, hi = levels
     thr_lo = out[lo]["spans_per_s"]
     thr_hi = out[hi]["spans_per_s"]
@@ -285,6 +311,9 @@ def run_scaling(sf_dir: str, levels=None) -> dict:
         # canary at the high level flags a load-polluted ratio
         f"canary_{lo}": out[lo].get("canary"),
         f"canary_{hi}": out[hi].get("canary"),
+        # every attempt (sec + canary) per level: pollution-driven
+        # retries stay visible in the record
+        "attempts": attempts_log,
     }
 
 
