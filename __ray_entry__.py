@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keep_latest_events": analytics.keep_latest_events,
         "events_rollup": analytics.events_rollup,
         "shipping_priority": analytics.shipping_priority,
+        "supplier_region_stats": analytics.supplier_region_stats,
         "doc_length_decile": analytics.doc_length_decile,
         "event_type_pivot": analytics.event_type_pivot,
         "user_value_delta": analytics.user_value_delta,
@@ -594,6 +595,16 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY user_id, event_type
                                           ORDER BY ts DESC, event_id DESC) AS rn
                 FROM events) WHERE rn = 1
+        """,
+        "supplier_region_stats": """
+            SELECT r.r_name AS region,
+                   count(*) AS n_suppliers,
+                   round(sum(s.s_acctbal), 2) AS sum_acctbal,
+                   round(max(s.s_acctbal), 2) AS max_acctbal
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1
         """,
         "shipping_priority": """
             SELECT l_orderkey, revenue, o_orderdate, o_orderpriority FROM (

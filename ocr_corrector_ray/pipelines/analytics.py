@@ -1513,3 +1513,59 @@ def doc_length_decile(sf_dir: str):
     return ray.data.read_parquet(
         _p(sf_dir, "documents"), columns=["doc_id", "n_chars"]
     ).map_batches(apply, batch_format="pandas")
+
+
+def supplier_region_stats(sf_dir: str):
+    """Snowflake dimension chain: supplier ⋈ nation ⋈ region rolled up
+    to per-region supplier stats.  nation and region are classic TINY
+    dimensions — composed into ONE nationkey → region-name dict on the
+    driver and broadcast via ray.put, so the fact stream joins both hops
+    with a single vectorized map per batch and partial aggregates
+    in-batch; the exchange carries ≤ |regions| rows per batch and no
+    dimension row ever shuffles."""
+    import pyarrow.parquet as pq
+
+    from ._agg import grouped_agg
+
+    nat = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(_p(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    rname = dict(zip(reg.column("r_regionkey").to_pylist(), reg.column("r_name").to_pylist()))
+    nat2region = {
+        nk: rname[rk]
+        for nk, rk in zip(nat.column("n_nationkey").to_pylist(),
+                          nat.column("n_regionkey").to_pylist())
+    }
+    dim_ref = ray.put(nat2region)
+
+    sup = ray.data.read_parquet(_p(sf_dir, "supplier"), columns=["s_nationkey", "s_acctbal"])
+
+    class Partial:
+        def __init__(self, ref):
+            self.n2r = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            g = pd.DataFrame({
+                "region": df["s_nationkey"].map(self.n2r),
+                "acctbal": df["s_acctbal"],
+            }).groupby("region", as_index=False).agg(
+                n_suppliers=("acctbal", "size"),
+                sum_acctbal=("acctbal", "sum"),
+                max_acctbal=("acctbal", "max"),
+            )
+            g["n_suppliers"] = g["n_suppliers"].astype("int64")
+            return g
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g["sum_acctbal"] = g["sum_acctbal"].round(2)
+        g["max_acctbal"] = g["max_acctbal"].round(2)
+        return g
+
+    return grouped_agg(
+        sup.map_batches(Partial, fn_constructor_kwargs={"ref": dim_ref},
+                        batch_format="pandas", concurrency=(1, 4)),
+        ["region"],
+        {"n_suppliers": ("n_suppliers", "sum"),
+         "sum_acctbal": ("sum_acctbal", "sum"),
+         "max_acctbal": ("max_acctbal", "max")},
+        finish_fn=finish,
+    )
