@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": analytics.events_rollup,
         "shipping_priority": analytics.shipping_priority,
         "supplier_region_stats": analytics.supplier_region_stats,
+        "dedup_exact_keep_best": analytics.dedup_exact_keep_best,
         "doc_length_decile": analytics.doc_length_decile,
         "event_type_pivot": analytics.event_type_pivot,
         "user_value_delta": analytics.user_value_delta,
@@ -595,6 +596,13 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY user_id, event_type
                                           ORDER BY ts DESC, event_id DESC) AS rn
                 FROM events) WHERE rn = 1
+        """,
+        "dedup_exact_keep_best": """
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       row_number() OVER (PARTITION BY md5(coalesce(text, ''))
+                                          ORDER BY n_chars DESC, doc_id) AS rn
+                FROM documents) WHERE rn = 1
         """,
         "supplier_region_stats": """
             SELECT r.r_name AS region,

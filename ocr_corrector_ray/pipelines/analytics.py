@@ -1569,3 +1569,45 @@ def supplier_region_stats(sf_dir: str):
          "max_acctbal": ("max_acctbal", "max")},
         finish_fn=finish,
     )
+
+
+def dedup_exact_keep_best(sf_dir: str, num_buckets: int | None = None):
+    """Exact dedup with a QUALITY survivor policy: per distinct text,
+    keep the doc with the most characters (ties: smallest doc_id) —
+    "which copy to keep" is a real curation decision (prefer the richer
+    metadata / longer extraction), unlike dedup_exact's arbitrary
+    min-id survivor.
+
+    Same scale shape as keep_latest_events: the shuffle key is the md5
+    digest (fixed 32 bytes, never the body), an in-batch combiner keeps
+    each batch's best per digest first, survivors co-locate by digest
+    hash into coarse buckets, one vectorized sort + drop_duplicates per
+    bucket finishes."""
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+
+    num_buckets = num_buckets or default_num_buckets()
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "text", "n_chars"]
+    )
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["h", "n_chars", "doc_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.drop_duplicates("h", keep="first")
+
+    def hash_and_combine(df: pd.DataFrame):
+        h = df["text"].fillna("").map(
+            lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
+        df = pd.DataFrame({"doc_id": df["doc_id"], "n_chars": df["n_chars"], "h": h})
+        df = best(df)  # combiner: local best per digest before the exchange
+        b = pd.util.hash_pandas_object(df["h"], index=False)
+        return arrow_out(df.assign(bucket=(b % num_buckets).astype("int32")))
+
+    def per_bucket(df: pd.DataFrame):
+        return arrow_out(best(df)[["doc_id", "n_chars"]])
+
+    return (
+        ds.map_batches(hash_and_combine, batch_format="pandas")
+        .groupby("bucket", num_partitions=physical_partitions(num_buckets))
+        .map_groups(per_bucket, batch_format="pandas")
+    )
