@@ -157,31 +157,41 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Registry ordered for the driver's 50-entry correctness window.
+
+    The driver checks the FIRST 50 entries in insertion order.  Entries
+    1-50 are the two flagship rows-only signals (``ocr_correct``,
+    ``ocr_extract``) plus 48 DuckDB-oracled queries, so every oracled
+    query family gets a driver hash row.  Seven oracled queries sit in
+    the tail because the window can't hold all 55; each is redundantly
+    pinned by an in-window sibling that consumes the same kernel:
+
+    - ``token_counts`` / ``lang_script`` / ``fingerprints`` /
+      ``embedding_norms`` / ``minhash_sketch``: driver-green in
+      CORRECTNESS_r04; their kernels also feed in-window queries
+      (``quality_scores``/``pack_sequences`` recompute n_tokens,
+      ``dedup_exact_keep_best``+``curated_docs`` key on the same md5,
+      ``ann_topk``/``embedding_cosine_pairs`` divide by the same norms,
+      ``minhash_neardup_pairs`` bands the same signature values).
+    - ``doc_token_entropy`` / ``dup_ngram_ratio``: ``curated_docs``
+      (in-window) recomputes both values with identical quantization
+      and filters on them — a kernel bug there hash-mismatches it.
+
+    The rest of the tail is rows-only by nature (see ``oracle_sql``).
+    """
     from ocr_corrector_ray.pipelines import analytics, dedup, textstats
 
     return {
-        # flagship correction/extraction pipelines (non-SQL: rows-only check;
-        # exactness is asserted against the serial oracle in tests/).
-        # Three conformance-identical physical plans: explode (headline),
-        # fused (no shuffle), hybrid (fused for small docs + explode for
-        # the oversized tail — the 100-TB plan; its fixed costs [second
-        # read, tail shuffle actors] dominate at this test scale, see
-        # BASELINE.md)
+        # -- driver check window (first 50) -------------------------------
+        # flagship correction + extraction (non-SQL: rows-only check;
+        # exactness vs the serial oracle is pinned in tests/)
         "ocr_correct": _ocr_correct_flat,
-        "ocr_correct_hybrid": lambda sf: _ocr_correct_flat(sf, mode="hybrid"),
-        "ocr_correct_fused": lambda sf: _ocr_correct_flat(sf, mode="fused"),
         "ocr_extract": _ocr_extract,
         # SQL-checked general operators
         "doc_stats": analytics.doc_stats,
-        "token_counts": analytics.token_counts,
         "quality_scores": analytics.quality_scores,
-        "lang_script": analytics.lang_script,
-        "fingerprints": analytics.fingerprints,
         "dedup_exact": analytics.dedup_exact,
-        "embedding_norms": analytics.embedding_norms,
         "ann_topk": analytics.ann_topk,
-        "ivf_ann_topk": analytics.ivf_ann_topk,  # approximate: rows-only check
-        "kmeans_embeddings": analytics.kmeans_embeddings,  # iterative: rows-only
         "events_hourly": analytics.events_hourly,
         "events_sliding": analytics.events_sliding,
         "sessionize": analytics.sessionize,
@@ -209,42 +219,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_decile": analytics.doc_length_decile,
         "event_type_pivot": analytics.event_type_pivot,
         "user_value_delta": analytics.user_value_delta,
+        # near-dup family (oracled)
+        "minhash_neardup_pairs": dedup.minhash_neardup_pairs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "simhash_signatures": dedup.simhash_signatures,
+        "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
+        "embedding_cosine_pairs": dedup.embedding_cosine_pairs,
+        "neardup_survivors": dedup.neardup_survivors,
+        "neardup_survivors_simhash": lambda sf: dedup.neardup_survivors(sf, source="simhash"),
+        # text analysis + curation (oracled)
+        "lang_id_ngram": textstats.lang_id_ngram,
+        "winnowing_fingerprints": textstats.winnowing_fingerprints,
+        "tfidf_top_terms": textstats.tfidf_top_terms,
+        "pack_sequences": textstats.pack_sequences,
+        "curated_docs": textstats.curated_docs,
+        "decontaminate_docs": textstats.decontaminate_docs,
+        "domain_quota_docs": analytics.domain_quota_docs,
+        "quality_percentile_docs": analytics.quality_percentile_docs,
+        # extraction-kernel conformance: the flagship's PDF/HTML extraction
+        # kernels run over artifact-wrapped documents.text with the wrap +
+        # rule chain mirrored in DuckDB (value-hash check on the kernels)
+        "extract_pdf_kernel": analytics.extract_pdf_kernel,
+        "extract_html_kernel": analytics.extract_html_kernel,
+        # -- tail (entry 51+, outside the driver window) -------------------
+        # flagship physical-plan variants: conformance-identical to
+        # ocr_correct (tests/test_pipeline_conformance.py asserts
+        # span-sequence equality across all three plans + scorer backend)
+        "ocr_correct_hybrid": lambda sf: _ocr_correct_flat(sf, mode="hybrid"),
+        "ocr_correct_fused": lambda sf: _ocr_correct_flat(sf, mode="fused"),
+        "ocr_correct_scorer": _ocr_correct_scorer,
+        # oracled but redundantly pinned in-window (see docstring)
+        "token_counts": analytics.token_counts,
+        "lang_script": analytics.lang_script,
+        "fingerprints": analytics.fingerprints,
+        "embedding_norms": analytics.embedding_norms,
+        "minhash_sketch": dedup.minhash_sketch,
+        "doc_token_entropy": textstats.doc_token_entropy,
+        "dup_ngram_ratio": textstats.dup_ngram_ratio,
+        # rows-only by nature
+        "ivf_ann_topk": analytics.ivf_ann_topk,  # approximate: recall-bound-tested
+        "kmeans_embeddings": analytics.kmeans_embeddings,  # iterative
+        "minhash_signatures": dedup.minhash_signatures,  # list-shaped
+        "embedding_neardup": dedup.embedding_neardup,  # LSH recall < 1
+        "approx_distinct_tokens": _approx_distinct_tokens,
+        "heavy_hitter_tokens": _heavy_hitter_tokens,
         # training-data tooling + multimodal plumbing (rows-only)
         "correction_pairs": _correction_pairs,
         "confusion_counts": _confusion_counts,
         "mask_probabilities": _mask_probabilities,
         "training_instances": _training_instances,
         "media_features": _media_features,
-        "ocr_correct_scorer": _ocr_correct_scorer,
-        # near-dup family
-        "minhash_signatures": dedup.minhash_signatures,
-        "minhash_sketch": dedup.minhash_sketch,
-        "minhash_neardup_pairs": dedup.minhash_neardup_pairs,
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "simhash_signatures": dedup.simhash_signatures,
-        "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
-        "embedding_neardup": dedup.embedding_neardup,
-        "embedding_cosine_pairs": dedup.embedding_cosine_pairs,
-        "neardup_survivors": dedup.neardup_survivors,
-        "neardup_survivors_simhash": lambda sf: dedup.neardup_survivors(sf, source="simhash"),
-        # text analysis + sketches (rows-only)
-        "lang_id_ngram": textstats.lang_id_ngram,
-        "winnowing_fingerprints": textstats.winnowing_fingerprints,
-        "tfidf_top_terms": textstats.tfidf_top_terms,
-        "doc_token_entropy": textstats.doc_token_entropy,
-        "dup_ngram_ratio": textstats.dup_ngram_ratio,
-        "pack_sequences": textstats.pack_sequences,
-        "curated_docs": textstats.curated_docs,
-        "decontaminate_docs": textstats.decontaminate_docs,
-        "domain_quota_docs": analytics.domain_quota_docs,
-        "quality_percentile_docs": analytics.quality_percentile_docs,
-        "approx_distinct_tokens": _approx_distinct_tokens,
-        "heavy_hitter_tokens": _heavy_hitter_tokens,
-        # extraction-kernel conformance: the flagship's PDF/HTML extraction
-        # kernels run over artifact-wrapped documents.text with the wrap +
-        # rule chain mirrored in DuckDB (value-hash check on the kernels)
-        "extract_pdf_kernel": analytics.extract_pdf_kernel,
-        "extract_html_kernel": analytics.extract_html_kernel,
     }
 
 
