@@ -17,6 +17,11 @@ from typing import Any
 
 _STOP_SQL = "('the','a','of','to','and','in','is')"
 
+# single source of truth for event_type_pivot: the Ray query pins this
+# list (raising on any unseen type) and the oracle's FILTER columns are
+# generated from it, so a datagen change cannot silently desync them
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
 
 def _corpus_for(sf_dir: str) -> str:
     import os
@@ -217,7 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_region_stats": analytics.supplier_region_stats,
         "dedup_exact_keep_best": analytics.dedup_exact_keep_best,
         "doc_length_decile": analytics.doc_length_decile,
-        "event_type_pivot": analytics.event_type_pivot,
+        "event_type_pivot": lambda sf: analytics.event_type_pivot(sf, types=_EVENT_TYPES),
         "user_value_delta": analytics.user_value_delta,
         # near-dup family (oracled)
         "minhash_neardup_pairs": dedup.minhash_neardup_pairs,
@@ -667,15 +672,10 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             GROUP BY ROLLUP (event_type, hour)
         """,
-        "event_type_pivot": """
-            SELECT user_id,
-                   round(coalesce(sum(value) FILTER (event_type = 'click'), 0), 2) AS sum_click,
-                   round(coalesce(sum(value) FILTER (event_type = 'error'), 0), 2) AS sum_error,
-                   round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0), 2) AS sum_purchase,
-                   round(coalesce(sum(value) FILTER (event_type = 'signup'), 0), 2) AS sum_signup,
-                   round(coalesce(sum(value) FILTER (event_type = 'view'), 0), 2) AS sum_view
-            FROM events GROUP BY user_id
-        """,
+        "event_type_pivot": "SELECT user_id, " + ", ".join(
+            f"round(coalesce(sum(value) FILTER (event_type = '{t}'), 0), 2) AS sum_{t}"
+            for t in _EVENT_TYPES
+        ) + " FROM events GROUP BY user_id",
         "user_value_delta": """
             SELECT event_id,
                    round(value - lag(value) OVER (PARTITION BY user_id

@@ -19,6 +19,26 @@ import sys
 import time
 
 
+def output_clear_guard(output: str, src: str) -> str | None:
+    """Safety check before the overwrite path unlinks ``*.parquet`` under
+    ``output``: refuse when the input lies under the output (the clear
+    would delete input data before the lazy pipeline reads it) or when
+    the directory holds a checkpoint manifest (the clear would delete
+    the checkpoint's fragments while the manifest survives, corrupting
+    resume/readback).  Returns an error message, or None when safe."""
+    out_real = os.path.realpath(output)
+    src_real = os.path.realpath(src)
+    if os.path.commonpath([out_real, src_real]) == out_real:
+        return (f"input {src} lies under output {output}; refusing to "
+                "clear it")
+    if os.path.exists(os.path.join(output, "manifest")) or \
+            os.path.exists(os.path.join(output, "manifest.json")):
+        return (f"{output} holds a checkpoint manifest; rerun with "
+                "--checkpoint to resume it (refusing to clear "
+                "checkpointed output)")
+    return None
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", help="parquet file/dir with the interleaved-doc schema")
@@ -114,6 +134,10 @@ def main(argv=None) -> int:
         # clear prior parquet output first.  The checkpoint path above has
         # its own manifest-driven resume and must NOT be cleared.
         if os.path.isdir(args.output):
+            err = output_clear_guard(args.output, src)
+            if err is not None:
+                print(f"error: {err}", file=sys.stderr)
+                return 2
             stale = [os.path.join(r, f) for r, _, fs in os.walk(args.output)
                      for f in fs if f.endswith(".parquet")]
             for f in stale:

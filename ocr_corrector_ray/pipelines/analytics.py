@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+from collections.abc import Sequence
 
 import numpy as np
 import pandas as pd
@@ -1154,7 +1155,10 @@ def keep_latest_events(sf_dir: str, num_buckets: int | None = None):
     ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=cols)
 
     def latest(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
+        # na_position="first": a null ts must never win over a real one
+        # (SQL ORDER BY ts DESC puts NULLS LAST; pandas would otherwise
+        # sort NaT last and keep="last" would crown the NaT row)
+        df = df.sort_values(["ts", "event_id"], na_position="first")
         return df.drop_duplicates(["user_id", "event_type"], keep="last")
 
     def add_bucket(df: pd.DataFrame):
@@ -1304,43 +1308,61 @@ def events_rollup(sf_dir: str):
     )
 
 
-def event_type_pivot(sf_dir: str):
+def event_type_pivot(sf_dir: str, types: Sequence[str] | None = None):
     """Pivot the event log into one wide row per user: a column of
     summed value per event type (the 'long → wide feature table' step
-    before model training).  The type list is discovered from a bounded
-    distinct pass; the pivot itself is a grouped_agg over user_id with
-    one in-batch filtered partial sum per type — the exchange carries
-    |users| x (|types|+1) numbers, never the event log."""
+    before model training).
+
+    ONE corpus scan: each batch combines to long-form partials
+    (user_id, event_type, psum) — bounded by |users in batch| x |types|,
+    never the log — which are materialized once.  The type set is then
+    derived from the PARTIALS (output-sized, not a second corpus pass)
+    unless ``types`` pins it; a pinned list is asserted against the data
+    so a new event type raises instead of silently dropping rows.  The
+    wide finish is a grouped_agg over user_id on the partials."""
     from ._agg import grouped_agg
+    from ._util import arrow_out
 
     ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type", "value"])
+    pinned = sorted(types) if types is not None else None
 
-    def batch_types(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"event_type": df["event_type"].drop_duplicates()})
+    def partial(df: pd.DataFrame):
+        if pinned is not None:
+            unknown = df.loc[~df["event_type"].isin(pinned), "event_type"]
+            if len(unknown):
+                raise ValueError(
+                    f"event_type_pivot: event types {sorted(set(unknown))} "
+                    f"not in the pinned list {pinned}"
+                )
+        g = df.groupby(["user_id", "event_type"], as_index=False)["value"].sum()
+        return arrow_out(g.rename(columns={"value": "psum"}))
 
-    types = sorted({
-        t
-        for b in ds.map_batches(batch_types, batch_format="pandas").iter_batches(
-            batch_format="pandas")
-        for t in b["event_type"]
-    })
+    partials = ds.map_batches(partial, batch_format="pandas")
+    if pinned is None:
+        # the corpus was already reduced to partials; this distinct runs
+        # over the (bounded) materialized partials, not the event log
+        partials = partials.materialize()
+        tcol = partials.select_columns(["event_type"]).unique("event_type")
+        type_list = sorted(tcol)
+    else:
+        type_list = pinned
 
     def widen(df: pd.DataFrame) -> pd.DataFrame:
         p = df.pivot_table(index="user_id", columns="event_type",
-                           values="value", aggfunc="sum", fill_value=0.0)
-        p = p.reindex(columns=types, fill_value=0.0)
+                           values="psum", aggfunc="sum", fill_value=0.0)
+        p = p.reindex(columns=type_list, fill_value=0.0)
         p.columns = [f"sum_{t}" for t in p.columns]
         return p.reset_index()
 
-    aggs = {f"sum_{t}": (f"sum_{t}", "sum") for t in types}
+    aggs = {f"sum_{t}": (f"sum_{t}", "sum") for t in type_list}
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
-        for t in types:
+        for t in type_list:
             g[f"sum_{t}"] = g[f"sum_{t}"].round(2)
         return g
 
     return grouped_agg(
-        ds.map_batches(widen, batch_format="pandas"),
+        partials.map_batches(widen, batch_format="pandas"),
         ["user_id"], aggs, finish_fn=finish,
     )
 

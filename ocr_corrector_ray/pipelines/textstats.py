@@ -33,9 +33,12 @@ def _parquet_num_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
+        # os.walk: ray.data.read_parquet discovers files recursively, so
+        # a nested layout must count the same fragments the read sees
         return sum(
-            pq.ParquetFile(os.path.join(path, n)).metadata.num_rows
-            for n in sorted(os.listdir(path))
+            pq.ParquetFile(os.path.join(root, n)).metadata.num_rows
+            for root, _, files in os.walk(path)
+            for n in sorted(files)
             if n.endswith(".parquet")
         )
     return pq.ParquetFile(path).metadata.num_rows
@@ -66,24 +69,40 @@ def lang_id_ngram(sf_dir: str):
         for rank, bg in enumerate(_PROFILES[lang]):
             P[li, v_index[bg]] = len(_PROFILES[lang]) - rank
 
+    # byte-pair lookup: code = first_byte*256 + second_byte -> vocab
+    # index (-1 = not a profile bigram); the doc separator byte '\n'
+    # can never hit the a-z-only vocab, so cross-doc pairs self-mask
+    lut = np.full(65536, -1, dtype=np.int16)
+    for bg, i in v_index.items():
+        lut[ord(bg[0]) * 256 + ord(bg[1])] = i
+    V = len(vocab)
+
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        preds = []
-        for text in df["text"].fillna(""):
-            letters = "".join(c for c in text.lower() if c.isalpha() and c.isascii())
-            if len(letters) < 4:
-                preds.append("und")
-                continue
-            v = np.zeros(len(vocab), dtype=np.int64)
-            for i in range(len(letters) - 1):
-                j = v_index.get(letters[i : i + 2])
-                if j is not None:
-                    v[j] += 1
-            if not v.any():
-                preds.append("und")
-                continue
-            sims = P @ v
-            preds.append(langs[int(np.argmax(sims))])
-        return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": preds})
+        # one vectorized pass per batch (no per-row Python): regex-strip
+        # to a-z, then numpy byte-pair counting over the whole batch
+        letters = (
+            df["text"].fillna("").str.lower().str.replace("[^a-z]", "", regex=True)
+        )
+        n = len(letters)
+        lens = letters.str.len().to_numpy(dtype=np.int64)
+        joined = "\n".join(letters) + "\n"
+        arr = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
+        if len(arr) >= 2:
+            codes = arr[:-1].astype(np.int32) * 256 + arr[1:]
+            vi = lut[codes]
+            doc_of_pair = np.repeat(np.arange(n, dtype=np.int64), lens + 1)[:-1]
+            valid = vi >= 0
+            counts = np.bincount(
+                doc_of_pair[valid] * V + vi[valid], minlength=n * V
+            ).reshape(n, V)
+        else:
+            counts = np.zeros((n, V), dtype=np.int64)
+        sims = counts @ P.T  # (n_docs, n_langs) integer scores
+        best = np.asarray(langs, dtype=object)[np.argmax(sims, axis=1)]
+        und = (lens < 4) | ~counts.any(axis=1)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "lang_pred": np.where(und, "und", best)}
+        )
 
     return ds.map_batches(fn, batch_format="pandas")
 

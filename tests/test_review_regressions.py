@@ -156,3 +156,92 @@ def test_decontaminate_handles_empty_text_docs(ray_session, tmp_path):
     got = decontaminate_docs(str(d)).to_pandas().sort_values("doc_id")
     assert got["doc_id"].tolist() == [5]
     assert got["n_hits"].tolist() == [1]
+
+
+def _write_events(tmp_path, rows):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"])
+    t = pa.Table.from_pandas(df[["event_id", "ts", "user_id", "event_type", "value"]],
+                             preserve_index=False)
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(t, d / "events.parquet")
+    return str(d)
+
+
+def test_keep_latest_null_ts_never_wins(ray_session, tmp_path):
+    """ADVICE r4: pandas sorts NaT last, so keep='last' used to crown a
+    null-ts row over the real latest event; SQL's ORDER BY ts DESC puts
+    NULLS LAST and picks the max non-null ts."""
+    from ocr_corrector_ray.pipelines.analytics import keep_latest_events
+
+    sf = _write_events(tmp_path, {
+        "event_id": [1, 2, 3],
+        "ts": ["2026-01-01 10:00:00", "2026-01-01 11:00:00", None],
+        "user_id": [7, 7, 7],
+        "event_type": ["click", "click", "click"],
+        "value": [1.0, 2.0, 3.0],
+    })
+    got = keep_latest_events(sf).to_pandas()
+    assert got["event_id"].tolist() == [2]
+
+
+def test_event_type_pivot_discovery_matches_pinned(ray_session, tmp_path):
+    """One-corpus-scan discovery (types=None) must agree with the pinned
+    path; a pinned list missing a type present in the data must raise
+    instead of silently dropping rows (ADVICE r4 oracle-desync guard)."""
+    from ocr_corrector_ray.pipelines.analytics import event_type_pivot
+
+    sf = _write_events(tmp_path, {
+        "event_id": [1, 2, 3, 4],
+        "ts": ["2026-01-01"] * 4,
+        "user_id": [1, 1, 2, 2],
+        "event_type": ["click", "view", "view", "click"],
+        "value": [1.5, 2.5, 3.5, 4.5],
+    })
+    disc = event_type_pivot(sf).to_pandas().sort_values("user_id", ignore_index=True)
+    pin = event_type_pivot(sf, types=["click", "view"]).to_pandas().sort_values(
+        "user_id", ignore_index=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(disc, pin)
+    assert list(disc.columns) == ["user_id", "sum_click", "sum_view"]
+    assert disc["sum_click"].tolist() == [1.5, 4.5]
+    with pytest.raises(Exception, match="not in the pinned list"):
+        event_type_pivot(sf, types=["click"]).to_pandas()
+
+
+def test_parquet_num_rows_nested_layout(tmp_path):
+    """ADVICE r4: ray.data.read_parquet discovers files recursively;
+    the footer-based row count must count the same fragments."""
+    import pyarrow.parquet as pq
+
+    from ocr_corrector_ray.pipelines.textstats import _parquet_num_rows
+
+    t = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    (tmp_path / "nested").mkdir()
+    pq.write_table(t, tmp_path / "top.parquet")
+    pq.write_table(t, tmp_path / "nested" / "inner.parquet")
+    assert _parquet_num_rows(str(tmp_path)) == 6
+
+
+def test_cli_output_clear_guard(tmp_path):
+    """ADVICE r4 (medium): the overwrite path must refuse to unlink when
+    the input lies under the output or a checkpoint manifest exists."""
+    from ocr_corrector_ray.cli import output_clear_guard
+
+    out = tmp_path / "out"
+    (out / "sub").mkdir(parents=True)
+    # input under output -> refuse
+    assert output_clear_guard(str(out), str(out / "sub")) is not None
+    assert output_clear_guard(str(out), str(out)) is not None
+    # sibling input -> allowed
+    inp = tmp_path / "inp"
+    inp.mkdir()
+    assert output_clear_guard(str(out), str(inp)) is None
+    # checkpoint manifest present -> refuse
+    (out / "manifest").mkdir()
+    assert output_clear_guard(str(out), str(inp)) is not None
