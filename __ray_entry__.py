@@ -146,6 +146,43 @@ def _media_features(sf_dir: str):
     return media_features(ray.data.read_parquet(_corpus_for(sf_dir)))
 
 
+def _ocr_correct_delta(sf_dir: str):
+    """Flagship pipeline over the changed-spans-only exchange
+    (mode='delta', stages/delta.py): needs the bucketized input layout,
+    built once per corpus under /tmp and reused."""
+    import os
+
+    from ocr_corrector_ray import datagen
+    from ocr_corrector_ray.state.checkpoint import bucketize_input
+
+    src = _corpus_for(sf_dir)
+    bdir = src.rstrip("/") + "_buckets32"
+    if not os.path.exists(os.path.join(bdir, "_layout.json")):
+        bucketize_input(src, bdir, 32)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocr_corrector_ray.pipelines.correct import corrected_dataset
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans").combine_chunks()
+        parent = pc.list_parent_indices(spans)
+        flat = spans.flatten()
+        return pa.table(
+            {
+                "doc_id": pc.take(batch.column("doc_id"), parent),
+                "kind": flat.field("kind"),
+                "text": flat.field("text"),
+                "media_ref": flat.field("media_ref"),
+                "offset": flat.field("offset"),
+            }
+        )
+
+    return corrected_dataset(bdir, mode="delta").map_batches(
+        flatten, batch_format="pyarrow"
+    )
+
+
 def _ocr_correct_scorer(sf_dir: str):
     """Flagship pipeline with the full tokenize/frame/mask/score LM harness
     (deterministic random-projection network) instead of the synthetic
@@ -252,6 +289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # span-sequence equality across all three plans + scorer backend)
         "ocr_correct_hybrid": lambda sf: _ocr_correct_flat(sf, mode="hybrid"),
         "ocr_correct_fused": lambda sf: _ocr_correct_flat(sf, mode="fused"),
+        "ocr_correct_delta": _ocr_correct_delta,
         "ocr_correct_scorer": _ocr_correct_scorer,
         # oracled but redundantly pinned in-window (see docstring)
         "token_counts": analytics.token_counts,

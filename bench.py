@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "ocr_correct",          # headline: full extraction+correction, explode plan
     "ocr_correct_hybrid",   # fused for small docs + explode tail (scale plan)
     "ocr_correct_fused",    # fused no-shuffle plan
+    "ocr_correct_delta",    # changed-spans-only exchange over bucketized input (r5)
     "ocr_extract",
     "dedup_exact",
     "minhash_neardup_pairs",
@@ -37,8 +38,15 @@ BENCH_QUERIES = [
     "simhash_neardup_pairs",
     "shipping_priority",    # 3-way partitioned join + exact top-k (r4)
     "keep_latest_events",   # upsert compaction with in-batch combiner (r4)
+    "lang_id_ngram",        # vectorized byte-pair kernel (r5; was the slowest text kernel)
 ]
 HEADLINE = "ocr_correct"
+
+# --scaling persists its result here (keyed by the level pair) and the
+# plain bench embeds the recorded pairs as result["scaling"], so the
+# driver's BENCH_r{N}.json carries the scaling evidence machine-readably
+SCALING_RECORD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scaling_record.json")
 
 
 def env_canary() -> dict:
@@ -189,6 +197,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         timings[name] = round(best, 3)
 
     headline = HEADLINE if HEADLINE in timings else BENCH_QUERIES[0]
+    scaling = None
+    if os.path.exists(SCALING_RECORD):
+        try:
+            with open(SCALING_RECORD) as f:
+                scaling = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            scaling = None
     result = {
         "metric": "sec for extraction+correction over the synthetic interleaved corpus (headline: ocr_correct)",
         "value": timings[headline],
@@ -199,6 +214,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "canary": env_canary(),
+        # most recent `bench.py --scaling` measurements (per level pair:
+        # sec/throughput/efficiency/canaries/membw + every attempt)
+        "scaling": scaling,
     }
     ray.shutdown()
     return result
@@ -347,7 +365,22 @@ def run_serial(sf_dir: str, n_docs: int = 2000) -> dict:
 
 def main():
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(SF_DIR)))
+        res = run_scaling(SF_DIR)
+        # persist under "<lo>x<hi>:<query>" so repeated runs keep the
+        # latest record per pair and the plain bench can embed them
+        key = "x".join(str(x) for x in res["levels"]) + ":" + res["query"]
+        record = {}
+        if os.path.exists(SCALING_RECORD):
+            try:
+                with open(SCALING_RECORD) as f:
+                    record = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                record = {}
+        res["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+        record[key] = res
+        with open(SCALING_RECORD, "w") as f:
+            json.dump(record, f, indent=1)
+        print(json.dumps(res))
         return
     if "--serial" in sys.argv:
         print(json.dumps(run_serial(SF_DIR)))

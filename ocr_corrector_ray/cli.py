@@ -45,7 +45,11 @@ def main(argv=None) -> int:
     ap.add_argument("--gen-docs", type=int, default=0,
                     help="generate a synthetic corpus of N docs instead of --input")
     ap.add_argument("--output", help="output directory (parquet)")
-    ap.add_argument("--mode", choices=["explode", "fused", "hybrid"], default="explode")
+    ap.add_argument("--mode", choices=["explode", "fused", "hybrid", "delta"],
+                    default="explode",
+                    help="physical plan; 'delta' needs a bucketized input "
+                         "(--bucketize-to layout) and ships only changed "
+                         "spans across the shuffle")
     ap.add_argument("--span-threshold", type=int, default=4096,
                     help="hybrid-mode routing bound: docs with more spans than "
                          "this take the explode/shuffle path")

@@ -110,6 +110,17 @@ def corrected_dataset(
     more than vectorized in-batch stragglers do (measured at sf0.1).
     """
     cfg = cfg or CorrectorConfig()
+    if mode == "delta":
+        # changed-spans-only exchange over a bucketized input (the
+        # co-partitioned map-side join plan; see stages/delta.py)
+        from ..stages.delta import delta_corrected_dataset
+
+        if not isinstance(source, str):
+            raise ValueError("mode='delta' needs a bucketized input path")
+        return delta_corrected_dataset(
+            source, cfg=cfg, concurrency=concurrency,
+            batch_size=batch_size, side_ref=side_ref, per_group=per_group,
+        )
     enable_hash_shuffle()
     # Block-granularity note (r4): capping target_max_block_size to 2 MiB
     # to shrink the corrector pool's task quantum was A/B-tested at the

@@ -230,14 +230,61 @@ class _CorrectorBase:
         col_idx = batch.column_names.index("text")
         return batch.set_column(col_idx, "text", new_text)
 
+    def _correct_span_table_delta(self, batch: pa.Table) -> pa.Table:
+        """Delta-exchange kernel (stages/delta.py): correct the batch,
+        keep ONLY the spans whose text the correction actually changed,
+        and encode each change against the original text as a compact
+        binary patch (delta.encode_patch — substitution ops or a range
+        replace, whichever is smaller).  A correction typically touches
+        1-3 chars of a ~60-char span, so the exchange row is a few
+        bytes instead of the whole corrected text.  The clean majority
+        never crosses the shuffle at all — the reassembly side
+        reconstructs everything from its co-partitioned bucket file."""
+        from .delta import encode_patch
+
+        orig = batch.column("text").combine_chunks()
+        corrected = self._correct_span_table(batch)
+        new = corrected.column("text").combine_chunks()
+        changed = pa.array(
+            np.asarray(
+                pc.fill_null(pc.invert(pc.equal(new, orig)), False)
+            ).astype(bool)
+        )
+        sub = corrected.filter(changed)
+        patches = [
+            encode_patch(o or "", n or "")
+            for o, n in zip(
+                orig.filter(changed).to_pylist(), new.filter(changed).to_pylist()
+            )
+        ]
+        return pa.table({
+            "doc_id": sub.column("doc_id"),
+            "offset": sub.column("offset"),
+            "patch": pa.array(patches, pa.binary()),
+        })
+
 
 class SpanCorrector(_CorrectorBase):
     """Actor-pool stage over exploded span rows: replaces the ``text``
     column with its corrected form.  Use with
     ``map_batches(SpanCorrector, fn_constructor_kwargs=..., concurrency=N,
-    batch_format="pyarrow")``."""
+    batch_format="pyarrow")``.
+
+    ``delta=True`` (stages/delta.py plan): emit only the CHANGED spans
+    as minimal (doc_id, offset, text, pid) exchange rows."""
+
+    def __init__(self, *args, delta: bool = False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.delta = delta
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.delta:
+            from .reassemble import add_partition_column
+
+            out = self._correct_span_table_delta(batch)
+            if self.num_partitions is not None:
+                out = add_partition_column(out, self.num_partitions)
+            return out
         batch = self._correct_span_table(batch)
         if self.num_partitions is not None:
             from .reassemble import add_partition_column

@@ -34,10 +34,10 @@ class ParquetDriver:
         pq.write_table(table, tmp)
         os.replace(tmp, path)
 
-    def read_fragment(self, path: str) -> pa.Table:
+    def read_fragment(self, path: str, columns=None) -> pa.Table:
         import pyarrow.parquet as pq
 
-        return pq.read_table(path)
+        return pq.read_table(path, columns=columns)
 
     def read_dir(self, dir_path: str):
         """All fragments in a directory as a (lazy) ray.data.Dataset."""
@@ -64,10 +64,10 @@ class LanceDriver:  # pragma: no cover — lance is not installed in this sandbo
 
         lance.write_dataset(table, path, mode="overwrite")
 
-    def read_fragment(self, path: str) -> pa.Table:
+    def read_fragment(self, path: str, columns=None) -> pa.Table:
         import lance
 
-        return lance.dataset(path).to_table()
+        return lance.dataset(path).to_table(columns=columns)
 
     def read_dir(self, dir_path: str):
         import ray.data

@@ -70,3 +70,66 @@ def test_media_spans_byte_identical(ray_session, corpus, cfg):
         for s in r["spans"]:
             if s["kind"] == "image":
                 assert s["text"] == ""
+
+
+@pytest.fixture(scope="module")
+def bucketized(ray_session, corpus, tmp_path_factory):
+    from ocr_corrector_ray.state.checkpoint import bucketize_input
+
+    bdir = str(tmp_path_factory.mktemp("delta") / "buckets")
+    bucketize_input(corpus, bdir, 8)
+    return bdir
+
+
+def test_delta_plan_matches_oracle(ray_session, bucketized, expected, cfg):
+    """mode='delta' (changed-spans-only exchange + co-partitioned bucket
+    re-read, stages/delta.py) must reproduce the oracle exactly —
+    including partitions whose bucket had zero corrections (sentinel
+    keep-alive path)."""
+    out = corrected_dataset(bucketized, cfg, mode="delta").take_all()
+    got = {r["doc_id"]: _span_key(r["spans"]) for r in out}
+    assert set(got) == set(expected)
+    mismatched = [k for k in expected if got[k] != expected[k]]
+    assert mismatched == []
+
+
+def test_delta_requires_bucketized_layout(ray_session, corpus):
+    with pytest.raises(ValueError, match="bucketized"):
+        corrected_dataset(corpus, mode="delta").take_all()
+
+
+def test_patch_codec_roundtrip():
+    """encode_patch/apply_patch: substitutions, inserts, deletes, full
+    rewrites, >u16 offsets, and empty strings all round-trip."""
+    import random
+
+    from ocr_corrector_ray.stages.delta import apply_patch, encode_patch
+
+    rng = random.Random(7)
+    pool = "abc还款频率一二三四五六七八九十xyz Z"
+    cases = [
+        ("", "abc"), ("abc", ""), ("same", "same2"),
+        ("a" * 70000, "b" + "a" * 69999),          # pre/post > u16 fallback
+        ("a" * 70000 + "x", "a" * 70000 + "y"),
+    ]
+    for _ in range(500):
+        o = "".join(rng.choice(pool) for _ in range(rng.randint(0, 80)))
+        t = list(o)
+        k = rng.random()
+        if k < 0.5:
+            for _ in range(rng.randint(0, 4)):
+                if t:
+                    t[rng.randrange(len(t))] = rng.choice(pool)
+            n = "".join(t)
+        elif k < 0.7:
+            t.insert(rng.randint(0, len(t)), rng.choice(pool))
+            n = "".join(t)
+        elif k < 0.9:
+            if t:
+                del t[rng.randrange(len(t))]
+            n = "".join(t)
+        else:
+            n = "".join(rng.choice(pool) for _ in range(rng.randint(0, 80)))
+        cases.append((o, n))
+    for o, n in cases:
+        assert apply_patch(o, encode_patch(o, n)) == n
