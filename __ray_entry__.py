@@ -494,11 +494,13 @@ def oracle_sql() -> dict[str, str]:
         -- anchor text marked with the same \x01/\x02 sentinels (extract.py:56)
         s2 AS (SELECT doc_id, regexp_replace(s, '<a\b[^>]*>(.*?)</a\s*>',
                                              chr(1) || '\1' || chr(2), 'gis') AS s FROM s1),
-        -- block boundaries -> newline, strip remaining tags (extract.py:57-58)
+        -- block boundaries -> newline; remaining tags become the chr(3)
+        -- tag-mark sentinel so each line keeps its inline-tag count for
+        -- the text-density rule (extract.py:57-58)
         s3 AS (SELECT doc_id, regexp_replace(s,
                  '<br\s*/?>|</(?:p|div|li|h[1-6]|tr|td|section|article|ul|ol|table)\s*>',
                  chr(10), 'gi') AS s FROM s2),
-        s4 AS (SELECT doc_id, regexp_replace(s, '<[^>]+>', '', 'g') AS s FROM s3),
+        s4 AS (SELECT doc_id, regexp_replace(s, '<[^>]+>', chr(3), 'g') AS s FROM s3),
         -- entity unescape, same order as extract.py:46-49
         s5 AS (SELECT doc_id,
                  replace(replace(replace(replace(replace(replace(s,
@@ -512,27 +514,32 @@ def oracle_sql() -> dict[str, str]:
             FROM s5),
         feat AS (
             SELECT doc_id, ord, line,
-                   trim(replace(replace(line, chr(1), ''), chr(2), ''),
+                   length(line) - length(replace(line, chr(3), '')) AS n_tags,
+                   trim(replace(replace(replace(line, chr(1), ''), chr(2), ''),
+                                chr(3), ''),
                         ' ' || chr(9) || chr(13) || chr(12) || chr(11)) AS visible
             FROM lines),
         -- per-line keep rule: >=2 CJK chars, or >=25 visible chars with
-        -- link density < 0.5 (extract.py:62-84)
+        -- link density < 0.5 AND text density (visible chars per inline
+        -- tag) >= 6 (extract.py:66-103)
         feat2 AS (
-            SELECT doc_id, ord, visible,
+            SELECT doc_id, ord, visible, n_tags,
                    length(visible)
                      - length(regexp_replace(visible, '[一-龥]', '', 'g')) AS n_cjk,
                    length(regexp_replace(visible, '\s', '', 'g')) AS n_vis,
-                   length(regexp_replace(replace(replace(line, chr(1), ''), chr(2), ''),
+                   length(regexp_replace(replace(replace(replace(line, chr(1), ''), chr(2), ''),
+                                                 chr(3), ''),
                                          '\s', '', 'g'))
-                     - length(regexp_replace(replace(replace(
+                     - length(regexp_replace(replace(replace(replace(
                          regexp_replace(line, chr(1) || '[^' || chr(2) || ']*' || chr(2), '', 'g'),
-                         chr(1), ''), chr(2), ''), '\s', '', 'g')) AS in_link
+                         chr(1), ''), chr(2), ''), chr(3), ''), '\s', '', 'g')) AS in_link
             FROM feat)
         SELECT doc_id,
                string_agg(
                  CASE WHEN visible = '' THEN ''
                       WHEN n_cjk >= 2 THEN visible
-                      WHEN n_vis >= 25 AND in_link / greatest(1, n_vis) < 0.5 THEN visible
+                      WHEN n_vis >= 25 AND in_link / greatest(1, n_vis) < 0.5
+                           AND CAST(n_vis AS DOUBLE) / (n_tags + 1) >= 6.0 THEN visible
                       ELSE '' END, '' ORDER BY ord) AS text
         FROM feat2 GROUP BY doc_id
     """

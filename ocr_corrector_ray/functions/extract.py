@@ -17,8 +17,10 @@ HTML (`extract_html`):
      Text Features", WSDM 2010);
   3. unescape the basic entities;
   4. keep a line when it has >=2 CJK chars, or >=25 visible chars with link
-     density < 0.5 (content lines are text-dense, nav/footer lines are
-     link-dense);
+     density < 0.5 AND text density (visible chars per inline tag,
+     n_vis / (n_tags + 1)) >= 6 — content lines are text-dense,
+     nav/footer/widget lines are link- and markup-dense (the
+     chars-per-tag form of the DOM-density heuristic);
   5. join kept lines (whitespace-trimmed) with no separator — CJK prose has
      no inter-line whitespace.
 
@@ -49,19 +51,29 @@ _ENTITIES = [
 ]
 # sentinels for anchor-text accounting; stripped before returning
 _A0, _A1 = "\x01", "\x02"
+# sentinel marking where an inline (non-block) tag stood, so each line
+# keeps its tag count for the text-density rule; stripped before returning
+_TAGMARK = "\x03"
+# minimum visible chars per inline tag for the length path (content
+# lines measure ~7.5-12+ even with a wrapper span; markup-dense
+# widget/nav lines fall well under, e.g. 2.7 for per-word spans)
+TEXT_DENSITY_MIN = 6.0
 
 
 def extract_html(html: str) -> str:
     s = _DROP_ELEMENT_RE.sub("", html)
     s = _ANCHOR_RE.sub(lambda m: _A0 + m.group(1) + _A1, s)
     s = _BLOCK_BREAK_RE.sub("\n", s)
-    s = _TAG_RE.sub("", s)
+    s = _TAG_RE.sub(_TAGMARK, s)
     for ent, rep in _ENTITIES:
         s = s.replace(ent, rep)
 
     kept = []
     for line in s.split("\n"):
-        visible = line.replace(_A0, "").replace(_A1, "").strip()
+        n_tags = line.count(_TAGMARK)
+        visible = (
+            line.replace(_A0, "").replace(_A1, "").replace(_TAGMARK, "").strip()
+        )
         if not visible:
             continue
         n_cjk = regexes.count_chinese(visible)
@@ -76,10 +88,14 @@ def extract_html(html: str) -> str:
                 depth += 1
             elif c == _A1:
                 depth = max(0, depth - 1)
-            elif depth > 0 and not c.isspace():
+            elif depth > 0 and not c.isspace() and c != _TAGMARK:
                 in_link += 1
         n_vis = sum(1 for c in visible if not c.isspace())
-        if n_vis >= 25 and in_link / max(1, n_vis) < 0.5:
+        if (
+            n_vis >= 25
+            and in_link / max(1, n_vis) < 0.5
+            and n_vis / (n_tags + 1) >= TEXT_DENSITY_MIN
+        ):
             kept.append(visible)
     return "".join(kept)
 

@@ -231,8 +231,55 @@ def test_media_plumbing(ray_session):
         assert row["media_ref"].startswith("img://")
         assert len(row["feature"]) == MEDIA_FEATURE_DIM
 
+    # real backend on a compressed/unknown payload still raises clearly
     with pytest.raises(NotImplementedError):
-        MediaFeaturizer(backend="real")._featurize(b"x", "img://0/0")
+        MediaFeaturizer(backend="real")._featurize(b"\xff\xd8\xff jpeg", "img://0/0")
+
+
+def test_image_codec_roundtrip():
+    """Pure-numpy PPM/BMP codec: encode -> decode is pixel-exact,
+    including non-multiple-of-4 BMP row widths (padding path)."""
+    import numpy as np
+
+    from ocr_corrector_ray.stages.media import (
+        decode_bmp, decode_image, decode_ppm, encode_bmp, encode_ppm,
+    )
+
+    rng = np.random.RandomState(3)
+    for h, w in [(1, 1), (5, 7), (16, 16), (9, 3)]:
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_ppm(encode_ppm(img)) == img).all()
+        assert (decode_bmp(encode_bmp(img)) == img).all()
+        assert (decode_image(encode_ppm(img)) == img).all()
+        assert (decode_image(encode_bmp(img)) == img).all()
+    # PPM comment lines in the header parse correctly
+    img = rng.randint(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    p = b"P6\n# a comment\n2 2\n255\n" + img.tobytes()
+    assert (decode_ppm(p) == img).all()
+
+
+def test_media_real_backend_end_to_end(ray_session):
+    """backend='real' decodes actual pixels (PPM and BMP fixture
+    payloads) through the full actor-pool pipeline; features derive
+    from image content, not the ref hash."""
+    import numpy as np
+    import ray.data
+
+    from ocr_corrector_ray.stages.media import (
+        MediaFeaturizer, decode_image, media_features, synthesize_image_payload,
+    )
+
+    corpus = datagen.corpus_path(100)
+    ds = ray.data.read_parquet(corpus)
+    for fmt in ("ppm", "bmp"):
+        feats = media_features(ds, backend="real", payload_fmt=fmt).take_all()
+        assert len(feats) > 0
+        row = feats[0]
+        img = decode_image(synthesize_image_payload(row["media_ref"], fmt=fmt))
+        expect = MediaFeaturizer(backend="real")._pixel_features(img)
+        assert np.allclose(row["feature"], expect, atol=1e-6)
+        # channel means live in the first 3 dims (pre-normalization sanity)
+        assert not np.allclose(row["feature"][:3], 0)
 
 
 def test_embedding_api_parity(ray_session, tmp_path):
@@ -308,3 +355,14 @@ def test_checkpoint_format_persisted_and_resolved(ray_session, tmp_path):
         json.dump(row, f)
     assert ck.checkpoint_format(out) == "parquet"
     assert ck.read_corrected(out).count() == 50
+
+    # VERDICT r4 #8: a MIXED-format manifest (writers resolved drivers
+    # independently) must raise loudly on read/resume — a silent read
+    # would drop every fragment of the other format
+    row["format"] = "lance"
+    with open(mpath, "w") as f:
+        json.dump(row, f)
+    with pytest.raises(RuntimeError, match="mixed fragment formats"):
+        ck.checkpoint_format(out)
+    with pytest.raises(RuntimeError, match="mixed fragment formats"):
+        ck.read_corrected(out)

@@ -161,3 +161,24 @@ def test_lm_noop_prune_matches_full_path(resources):
     clean = [c for c in inv if c not in resources.lm.confusion_rev][:5]
     t = "".join(clean)
     assert pruned([t], [list(range(len(t)))], resources, CorrectorConfig()) == [t]
+
+
+def test_html_text_density_rule():
+    """VERDICT r4 #7 (chars-per-tag DOM-density): a long ASCII line
+    chopped up by many inline tags is markup-dense boilerplate and is
+    dropped even when its link density passes; the same text with few
+    tags is kept."""
+    import random
+
+    # 30 visible chars across 10 inline <span> pairs -> density 30/22 < 6
+    dense_markup = "<p>" + "<span>abc</span>" * 10 + "</p>"
+    assert extract_html(dense_markup) == ""
+    # same visible length, one span pair -> density 30/4 >= 6 -> kept
+    plain = "<p><span>" + "abc" * 10 + "</span></p>"
+    assert extract_html(plain) == "abc" * 10
+    # CJK rule still wins regardless of markup density
+    cjk = "<p>" + "<span>我爱</span>" * 6 + "</p>"
+    assert extract_html(cjk) == "我爱" * 6
+    # corpus wrap still roundtrips byte-identically
+    payload = "无效重大瑕疵或不符合乙方其他规定的债权资产"
+    assert extract_html(datagen._wrap_html(payload, random.Random(3))) == payload
