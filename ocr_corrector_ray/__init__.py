@@ -27,3 +27,11 @@ __version__ = "0.1.0"
 import os
 
 DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+# driver-side workaround for Ray 2.49's hash-shuffle schema-broadcast
+# race (empty first block eats the one-shot schema fan-out and empty
+# output partitions crash at finalize) — see rayfix.py for the analysis
+# and tests/test_rayfix.py for the deterministic reproducer
+from . import rayfix as _rayfix
+
+_rayfix.apply()
