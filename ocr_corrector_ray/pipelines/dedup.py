@@ -605,19 +605,24 @@ def simhash_signatures(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
-def simhash_band_rows(sf_dir: str, bands: int = 4):
+def simhash_band_rows(sf_dir: str, bands: int = 4, sigs=None):
     """(doc_id, band_id, band_hash): the 64-bit simhash split into
     ``bands`` contiguous bit bands.  Pigeonhole: two sigs within hamming
     distance ``bands - 1`` agree on at least one band, so banding with
     ``max_hamming + 1`` bands is a RECALL-COMPLETE candidate filter for
     that radius (no near pair can be missed, unlike MinHash banding
-    which is probabilistic)."""
+    which is probabilistic).
+
+    ``sigs``: optionally a pre-computed ``simhash_signatures`` Dataset
+    (e.g. materialized once and shared with the verify attach) — without
+    it, each caller pays its own corpus scan + signature kernel."""
     from ._util import arrow_out
 
     assert 64 % bands == 0, "band width must divide 64"
     width = 64 // bands
     mask = np.uint64((1 << width) - 1)
-    sigs = simhash_signatures(sf_dir)
+    if sigs is None:
+        sigs = simhash_signatures(sf_dir)
 
     def to_bands(df: pd.DataFrame):
         sig = df["simhash"].to_numpy(dtype="int64").view(np.uint64)
@@ -658,7 +663,17 @@ def simhash_neardup_pairs(
 
     assert max_hamming <= bands - 1, "banding would lose recall"
     num_buckets = num_buckets or default_num_buckets()
-    cands = _band_candidates(simhash_band_rows(sf_dir, bands), num_buckets)
+
+    # compute the signature kernel ONCE and share it between the banding
+    # pass and both verify attaches: the sig table is 16 bytes/doc
+    # (~0.2% of corpus bytes at 10 kB/doc), so materializing it is
+    # bounded at any corpus scale, while the lazy alternative re-runs
+    # the corpus scan + tokenize + hash kernel three times (measured
+    # 3x the signature cost at sf0.1)
+    sig_table = simhash_signatures(sf_dir).materialize()
+    cands = _band_candidates(
+        simhash_band_rows(sf_dir, bands, sigs=sig_table), num_buckets
+    )
 
     def sigs():
         def pack(df: pd.DataFrame) -> pd.DataFrame:
@@ -668,7 +683,7 @@ def simhash_neardup_pairs(
                 "sig_bytes": [v.tobytes() for v in arr],
             })
 
-        return simhash_signatures(sf_dir).map_batches(pack, batch_format="pandas")
+        return sig_table.map_batches(pack, batch_format="pandas")
 
     with_a = _bucketed_attach(
         cands, sigs(), key_col="a", src_key="doc_id", src_val="sig_bytes",
