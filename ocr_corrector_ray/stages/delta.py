@@ -162,13 +162,16 @@ def make_patch_fn(bucket_dir: str, fmt: str, per_group=None):
         ).select(list(DELTA_EXCHANGE_COLS))
         path = os.path.join(bucket_dir, f"bucket-{pid:05d}.{driver.extension}")
         if not os.path.exists(path):  # bucket with zero docs wrote no file
-            return reassemble_partition(pa.table({
+            out = reassemble_partition(pa.table({
                 "doc_id": pa.array([], pa.string()),
                 "kind": pa.array([], pa.string()),
                 "text": pa.array([], pa.string()),
                 "media_ref": pa.array([], pa.string()),
                 "offset": pa.array([], pa.int32()),
             }))
+            # the hook still sees the (empty) partition — a checkpoint
+            # writer must record it as done or a resume would re-pend it
+            return per_group(out) if per_group is not None else out
         # probs (the widest doc column) is never read on this side
         skel = driver.read_fragment(path, columns=["doc_id", "biz", "spans"])
         spans = extract_batch(explode_docs(skel)).select(
