@@ -133,3 +133,26 @@ def test_patch_codec_roundtrip():
         cases.append((o, n))
     for o, n in cases:
         assert apply_patch(o, encode_patch(o, n)) == n
+
+
+def test_patch_codec_roundtrip_hypothesis():
+    """Property: apply_patch(o, encode_patch(o, n)) == n for ARBITRARY
+    unicode strings — including astral-plane code points (4-byte utf-8,
+    one code point in Python slicing, so both patch ops must agree on
+    code-point positions, not byte offsets)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_corrector_ray.stages.delta import apply_patch, encode_patch
+
+    text = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),  # no lone surrogates
+        max_size=200,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(o=text, n=text)
+    def check(o, n):
+        assert apply_patch(o, encode_patch(o, n)) == n
+
+    check()
