@@ -29,6 +29,16 @@ STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
 
 
 def _p(sf_dir: str, name: str) -> str:
+    """Table path — and the one choke-point every query in this module
+    passes BEFORE creating its input Dataset, so it opts the session in
+    to the hash-shuffle strategy (idempotent; no-op under 4 CPUs).  The
+    bench/gate/driver sessions flip it via the flagship anyway; this
+    covers the STANDALONE caller, who would otherwise pay a sort-barrier
+    shuffle on every groupby (measured 17.1 s vs 7.7 s wall for
+    simhash_neardup_pairs at sf0.1 / 32 CPUs)."""
+    from .correct import enable_hash_shuffle
+
+    enable_hash_shuffle()
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
