@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_sketch": dedup.minhash_sketch,
         "doc_stats": analytics.doc_stats,
         "quality_scores": analytics.quality_scores,
+        "train_split_stats": analytics.train_split_stats,  # added r5 close-out
         # rows-only by nature
         "ivf_ann_topk": analytics.ivf_ann_topk,  # approximate: recall-bound-tested
         "kmeans_embeddings": analytics.kmeans_embeddings,  # iterative
@@ -738,6 +739,14 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": """
             SELECT doc_id, n_chars FROM documents
             WHERE md5(CAST(doc_id AS VARCHAR)) < '10'
+        """,
+        "train_split_stats": """
+            SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'train'
+                        WHEN md5(CAST(doc_id AS VARCHAR)) < 'f3' THEN 'valid'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   sum(n_chars) AS total_chars
+            FROM documents GROUP BY 1
         """,
         "stratified_sample": """
             SELECT lang, doc_id FROM (

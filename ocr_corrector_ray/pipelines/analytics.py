@@ -829,6 +829,33 @@ def doc_sample(sf_dir: str, hex_prefix_below: str = "10"):
     return ds.map_batches(pick, batch_format="pandas")
 
 
+def train_split_stats(sf_dir: str, bounds: tuple[str, str] = ("e6", "f3")):
+    """Deterministic train/valid/test split assignment + per-split corpus
+    stats — the split step every training-data pipeline runs before
+    sharding.  The split is a pure function of md5(doc_id) (seedless,
+    engine-independent, stable under re-runs / resharding / late-arriving
+    docs): hex digests distribute uniformly, so prefix thresholds 'e6'/'f3'
+    give ~90/5/5.  The per-doc assignment never leaves the workers — each
+    batch pre-aggregates to ≤3 partial rows, so the exchange carries
+    O(batches) rows regardless of corpus size; a shard writer would instead
+    keep the `split` column and `write_parquet(partition_cols=["split"])`."""
+    from ._agg import grouped_agg
+
+    lo, hi = bounds
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["doc_id"].map(lambda d: hashlib.md5(str(d).encode()).hexdigest())
+        split = np.where(h < lo, "train", np.where(h < hi, "valid", "test"))
+        return pd.DataFrame({"split": split, "n_chars": df["n_chars"].to_numpy()})
+
+    assigned = ds.map_batches(assign, batch_format="pandas")
+    return grouped_agg(
+        assigned, ["split"],
+        {"n_docs": ("n_chars", "size"), "total_chars": ("n_chars", "sum")},
+    )
+
+
 def user_running_value(sf_dir: str, num_buckets: int | None = None):
     """Running (cumulative) per-user value sum ordered by (ts, event_id) —
     the window-function `SUM() OVER (PARTITION BY user ORDER BY ts)`
