@@ -204,9 +204,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     The driver checks the FIRST 50 entries in insertion order.  Entries
     1-50 are the two flagship rows-only signals (``ocr_correct``,
     ``ocr_extract``) plus 48 DuckDB-oracled queries, so every oracled
-    query family gets a driver hash row.  Seven oracled queries sit in
-    the tail because the window can't hold all 55; each is redundantly
-    pinned by an in-window sibling that consumes the same kernel:
+    query family gets a driver hash row.  Eight oracled queries sit in
+    the tail because the window can't hold all 56; each is redundantly
+    pinned by an in-window sibling that consumes the same kernel, or
+    (``train_split_stats``, added at r5 close-out with the window
+    already packed) by the full-oracle-surface pytest at sf0.001 +
+    the local sf0.01 gate:
 
     - ``token_counts`` / ``lang_script`` / ``fingerprints`` /
       ``embedding_norms`` / ``minhash_sketch``: driver-green in
