@@ -146,6 +146,30 @@ def _media_features(sf_dir: str):
     return media_features(ray.data.read_parquet(_corpus_for(sf_dir)))
 
 
+def _media_resize(sf_dir: str):
+    import ray.data
+
+    from ocr_corrector_ray.stages.media import media_resize
+
+    return media_resize(ray.data.read_parquet(_corpus_for(sf_dir)))
+
+
+def _media_frame_sample(sf_dir: str):
+    import ray.data
+
+    from ocr_corrector_ray.stages.media import media_frame_sample
+
+    return media_frame_sample(ray.data.read_parquet(_corpus_for(sf_dir)))
+
+
+def _media_audio_features(sf_dir: str):
+    import ray.data
+
+    from ocr_corrector_ray.stages.media import media_audio_features
+
+    return media_audio_features(ray.data.read_parquet(_corpus_for(sf_dir)))
+
+
 def _ocr_correct_delta(sf_dir: str):
     """Flagship pipeline over the changed-spans-only exchange
     (mode='delta', stages/delta.py): needs the bucketized input layout,
@@ -318,6 +342,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mask_probabilities": _mask_probabilities,
         "training_instances": _training_instances,
         "media_features": _media_features,
+        "media_resize": _media_resize,
+        "media_frame_sample": _media_frame_sample,
+        "media_audio_features": _media_audio_features,
     }
 
 
@@ -350,7 +377,9 @@ def oracle_sql() -> dict[str, str]:
       ``kmeans_embeddings`` (iterative), ``approx_distinct_tokens`` /
       ``heavy_hitter_tokens`` (sketches — estimates are
       tolerance-tested, winners pinned vs exact in tests/),
-      ``media_features`` (binary payload featurizer).
+      ``media_features`` / ``media_resize`` / ``media_frame_sample`` /
+      ``media_audio_features`` (binary payload decode / resize /
+      seek-sample / PCM-spectral stages).
     """
     toks = r"regexp_split_to_array(trim(text), '\s+')"
     n_tokens = rf"CASE WHEN trim(text) = '' THEN 0 ELSE len({toks}) END"

@@ -282,6 +282,168 @@ def test_media_real_backend_end_to_end(ray_session):
         assert not np.allclose(row["feature"][:3], 0)
 
 
+def test_resize_image_kernel():
+    """Pure-numpy resize: integer-factor downscale equals exact block
+    means; upscale is nearest-neighbor; mixed axes fall back to nearest."""
+    import numpy as np
+
+    from ocr_corrector_ray.stages.media import resize_image
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    small = resize_image(img, 4, 4)
+    expect = np.rint(
+        img.astype(np.float64).reshape(4, 2, 4, 2, 3).mean(axis=(1, 3))
+    ).astype(np.uint8)
+    assert (small == expect).all()
+    # upscale: every output pixel is a source pixel (nearest)
+    big = resize_image(img, 16, 16)
+    assert big.shape == (16, 16, 3)
+    assert (big[::2, ::2] == img).all()
+    # non-integer downscale still averages disjoint cells (shape + range)
+    odd = resize_image(img, 5, 3)
+    assert odd.shape == (5, 3, 3)
+    # mixed up/down uses nearest mapping, stays in range
+    mixed = resize_image(img, 4, 16)
+    assert mixed.shape == (4, 16, 3)
+
+
+def test_video_container_roundtrip():
+    """RAWV1 container: seek-decode returns the exact encoded frame;
+    sampling indices are uniform, deterministic, and always include
+    frame 0 (and the last frame when k > 1)."""
+    import numpy as np
+
+    from ocr_corrector_ray.stages.media import (
+        decode_video_frame, encode_video, sample_frame_indices,
+        synthesize_video_payload, video_num_frames,
+    )
+
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8) for _ in range(7)]
+    payload = encode_video(frames)
+    assert video_num_frames(payload) == 7
+    for i in (0, 3, 6):
+        assert (decode_video_frame(payload, i) == frames[i]).all()
+    with pytest.raises(IndexError):
+        decode_video_frame(payload, 7)
+
+    idx = sample_frame_indices(100, 4)
+    assert idx[0] == 0 and idx[-1] == 99 and len(idx) == 4
+    assert (sample_frame_indices(2, 8) == [0, 1]).all()  # short clip collapses
+    assert len(sample_frame_indices(0, 4)) == 0
+
+    v = synthesize_video_payload("img://1/2", n_frames=5)
+    f0, f1 = decode_video_frame(v, 0), decode_video_frame(v, 1)
+    assert f0.shape == f1.shape and not (f0 == f1).all()  # content varies
+
+
+def test_media_resize_and_frame_sample_pipelines(ray_session):
+    """media_resize preserves row count and emits decodable thumbnails;
+    media_frame_sample fans out to exactly the sampled-frame rows, each
+    feature matching a direct seek-decode + featurize."""
+    import numpy as np
+    import ray.data
+
+    from ocr_corrector_ray.stages.media import (
+        MediaFeaturizer, decode_image, decode_video_frame, media_frame_sample,
+        media_features, media_resize, sample_frame_indices,
+        synthesize_video_payload, video_num_frames,
+    )
+
+    corpus = datagen.corpus_path(100)
+    ds = ray.data.read_parquet(corpus)
+    n_media = len(media_features(ds).take_all())
+
+    resized = media_resize(ds, out_h=4, out_w=4).take_all()
+    assert len(resized) == n_media
+    for row in resized[:5]:
+        thumb = decode_image(row["payload"])
+        assert thumb.shape == (4, 4, 3)
+        assert (row["src_height"], row["src_width"]) == (16, 16)
+
+    sampled = media_frame_sample(ds, n_samples=3).take_all()
+    per_ref = {}
+    for row in sampled:
+        per_ref.setdefault(row["media_ref"], []).append(row)
+    assert set(per_ref) == {r["media_ref"] for r in resized}
+    featurizer = MediaFeaturizer(backend="real")
+    ref, rows = next(iter(per_ref.items()))
+    payload = synthesize_video_payload(ref)
+    want_idx = sample_frame_indices(video_num_frames(payload), 3)
+    assert sorted(r["frame_idx"] for r in rows) == list(want_idx)
+    for r in rows:
+        expect = featurizer._pixel_features(decode_video_frame(payload, r["frame_idx"]))
+        assert np.allclose(r["feature"], expect, atol=1e-6)
+
+
+def test_wav_codec_and_audio_features():
+    """WAV PCM16 codec roundtrips sample-exact; stereo folds to mono;
+    non-PCM raises; the feature vector reflects actual signal content
+    (pure tone's spectral centroid tracks its frequency)."""
+    import numpy as np
+
+    from ocr_corrector_ray.stages.media import audio_features, decode_wav, encode_wav
+
+    rng = np.random.RandomState(5)
+    raw = rng.randint(-32768, 32768, size=512, dtype=np.int16)
+    samples, rate = decode_wav(encode_wav(raw, 8000))
+    assert rate == 8000
+    assert np.allclose(samples * 32768.0, raw)
+
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS not a wav")
+
+    # stereo folds to mono; compressed (non-PCM) fmt raises clearly
+    import struct
+
+    def wav(fmt_code, n_ch, frames):
+        data = np.asarray(frames, dtype="<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", fmt_code, n_ch, 8000, 8000 * 2 * n_ch, 2 * n_ch, 16)
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    x, r = decode_wav(wav(1, 2, [100, 200, 300, 400]))  # L R L R
+    assert r == 8000 and np.allclose(x * 32768.0, [150.0, 350.0])
+    with pytest.raises(NotImplementedError):
+        decode_wav(wav(3, 1, [0, 0]))  # IEEE-float fmt = unsupported
+
+    sr = 16000
+    t = np.arange(4096) / sr
+    lo = audio_features(*decode_wav(encode_wav((np.sin(2 * np.pi * 500 * t) * 30000).astype(np.int16), sr)))
+    hi = audio_features(*decode_wav(encode_wav((np.sin(2 * np.pi * 6000 * t) * 30000).astype(np.int16), sr)))
+    assert len(lo) == 32 and np.isclose(np.linalg.norm(lo), 1.0, atol=1e-5)
+    # higher tone -> higher normalized spectral centroid (dim 2) and
+    # energy concentrated in later FFT bands (dims 4..)
+    assert hi[2] > lo[2]
+    assert np.argmax(hi[4:]) > np.argmax(lo[4:])
+    # empty signal yields the zero vector without blowing up
+    assert not audio_features(np.empty(0), sr).any()
+
+
+def test_media_audio_pipeline(ray_session):
+    """media_audio_features runs end-to-end: one row per media span,
+    each feature matching a direct decode + featurize of the ref's
+    deterministic WAV fixture."""
+    import numpy as np
+    import ray.data
+
+    from ocr_corrector_ray.stages.media import (
+        audio_features, decode_wav, media_audio_features, media_features,
+        synthesize_audio_payload,
+    )
+
+    corpus = datagen.corpus_path(100)
+    ds = ray.data.read_parquet(corpus)
+    rows = media_audio_features(ds).take_all()
+    assert len(rows) == len(media_features(ds).take_all())
+    row = rows[0]
+    assert row["sample_rate"] == 16000 and row["duration_s"] > 0
+    expect = audio_features(*decode_wav(synthesize_audio_payload(row["media_ref"])))
+    assert np.allclose(row["feature"], expect, atol=1e-6)
+
+
 def test_embedding_api_parity(ray_session, tmp_path):
     """api.initial() drop-in facade matches the Ray pipeline on the same
     inputs (README.md:87-93 embedding surface)."""
