@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "shipping_priority",    # 3-way partitioned join + exact top-k (r4)
     "keep_latest_events",   # upsert compaction with in-batch combiner (r4)
     "lang_id_ngram",        # vectorized byte-pair kernel (r5; was the slowest text kernel)
+    "media_features",       # multimodal actor-pool decode+featurize (r5)
 ]
 HEADLINE = "ocr_correct"
 
