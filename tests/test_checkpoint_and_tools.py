@@ -377,6 +377,62 @@ def test_media_resize_and_frame_sample_pipelines(ray_session):
         assert np.allclose(r["feature"], expect, atol=1e-6)
 
 
+def test_media_codecs_roundtrip_hypothesis():
+    """Property: every pure-numpy media codec roundtrips exactly over
+    arbitrary shapes/content — PPM/BMP pixel-exact for any HxW (BMP row
+    padding included), WAV sample-exact for any PCM16 signal, RAWV1
+    frame-exact for any clip; resize always lands in the target shape
+    with values inside the source's [min, max] envelope."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_corrector_ray.stages.media import (
+        decode_bmp, decode_ppm, decode_video_frame, decode_wav, encode_bmp,
+        encode_ppm, encode_video, encode_wav, resize_image, video_num_frames,
+    )
+
+    dims = st.integers(min_value=1, max_value=23)
+
+    @settings(max_examples=60, deadline=None)
+    @given(h=dims, w=dims, seed=st.integers(0, 2**31 - 1))
+    def check_image(h, w, seed):
+        img = np.random.RandomState(seed).randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_ppm(encode_ppm(img)) == img).all()
+        assert (decode_bmp(encode_bmp(img)) == img).all()
+
+    @settings(max_examples=60, deadline=None)
+    @given(n=st.integers(0, 400), rate=st.sampled_from([8000, 16000, 44100]),
+           seed=st.integers(0, 2**31 - 1))
+    def check_wav(n, rate, seed):
+        raw = np.random.RandomState(seed).randint(-32768, 32768, size=n, dtype=np.int16)
+        samples, r = decode_wav(encode_wav(raw, rate))
+        assert r == rate and np.allclose(samples * 32768.0, raw)
+
+    @settings(max_examples=30, deadline=None)
+    @given(n_frames=st.integers(1, 6), h=dims, w=dims, seed=st.integers(0, 2**31 - 1))
+    def check_video(n_frames, h, w, seed):
+        rng = np.random.RandomState(seed)
+        frames = [rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8) for _ in range(n_frames)]
+        payload = encode_video(frames)
+        assert video_num_frames(payload) == n_frames
+        for i in (0, n_frames - 1):
+            assert (decode_video_frame(payload, i) == frames[i]).all()
+
+    @settings(max_examples=60, deadline=None)
+    @given(h=dims, w=dims, oh=dims, ow=dims, seed=st.integers(0, 2**31 - 1))
+    def check_resize(h, w, oh, ow, seed):
+        img = np.random.RandomState(seed).randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = resize_image(img, oh, ow)
+        assert out.shape == (oh, ow, 3) and out.dtype == np.uint8
+        assert out.min() >= img.min() and out.max() <= img.max()
+
+    check_image()
+    check_wav()
+    check_video()
+    check_resize()
+
+
 def test_wav_codec_and_audio_features():
     """WAV PCM16 codec roundtrips sample-exact; stereo folds to mono;
     non-PCM raises; the feature vector reflects actual signal content
