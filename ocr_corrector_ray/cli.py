@@ -8,6 +8,7 @@ test fixture) that owns a Ray session.
 Examples:
     python -m ocr_corrector_ray.cli --input /tmp/corpus.parquet --output /tmp/out
     python -m ocr_corrector_ray.cli --gen-docs 1000 --output /tmp/out --mode fused
+    python -m ocr_corrector_ray.cli --gen-docs 1000 --output /tmp/mf --stage media-features
 """
 
 from __future__ import annotations
@@ -50,6 +51,12 @@ def main(argv=None) -> int:
                     help="physical plan; 'delta' needs a bucketized input "
                          "(--bucketize-to layout) and ships only changed "
                          "spans across the shuffle")
+    ap.add_argument("--stage", default="correct",
+                    choices=["correct", "media-features", "media-resize",
+                             "media-frame-sample", "media-audio"],
+                    help="pipeline to run: the extraction+correction flagship "
+                         "(default) or one of the multimodal stages over the "
+                         "same interleaved-doc input")
     ap.add_argument("--span-threshold", type=int, default=4096,
                     help="hybrid-mode routing bound: docs with more spans than "
                          "this take the explode/shuffle path")
@@ -109,6 +116,38 @@ def main(argv=None) -> int:
                 "input": src, "bucketized_to": args.bucketize_to,
                 "num_partitions": args.num_partitions,
                 "wall_s": round(time.perf_counter() - t0, 3),
+            }))
+            return 0
+        if args.stage != "correct":
+            if args.checkpoint:
+                print("error: --checkpoint applies to --stage correct only",
+                      file=sys.stderr)
+                return 2
+            from .stages import media as mediamod
+
+            build = {
+                "media-features": mediamod.media_features,
+                "media-resize": mediamod.media_resize,
+                "media-frame-sample": mediamod.media_frame_sample,
+                "media-audio": mediamod.media_audio_features,
+            }[args.stage]
+            ds = build(ray.data.read_parquet(src))
+            if os.path.isdir(args.output):
+                err = output_clear_guard(args.output, src)
+                if err is not None:
+                    print(f"error: {err}", file=sys.stderr)
+                    return 2
+                for r, _, fs in os.walk(args.output):
+                    for f in fs:
+                        if f.endswith(".parquet"):
+                            os.unlink(os.path.join(r, f))
+            ds.write_parquet(args.output)
+            wall = time.perf_counter() - t0
+            n_rows = ray.data.read_parquet(args.output).count()
+            print(json.dumps({
+                "input": src, "output": args.output, "stage": args.stage,
+                "rows": n_rows, "wall_s": round(wall, 3),
+                "rows_per_s": round(n_rows / wall, 2) if wall > 0 else None,
             }))
             return 0
         if args.checkpoint:
