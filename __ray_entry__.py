@@ -229,11 +229,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     1-50 are the two flagship rows-only signals (``ocr_correct``,
     ``ocr_extract``) plus 48 DuckDB-oracled queries, so every oracled
     query family gets a driver hash row.  Eight oracled queries sit in
-    the tail because the window can't hold all 56; each is redundantly
-    pinned by an in-window sibling that consumes the same kernel, or
-    (``train_split_stats``, added at r5 close-out with the window
-    already packed) by the full-oracle-surface pytest at sf0.001 +
-    the local sf0.01 gate:
+    the tail because the window can't hold all of them; each is
+    redundantly pinned by an in-window sibling that consumes the same
+    kernel, or (``train_split_stats`` / ``token_repetition_stats``,
+    added at r5 close-out with the window already packed) by the
+    full-oracle-surface pytest at sf0.001 + the local sf0.01 gate:
 
     - ``token_counts`` / ``lang_script`` / ``fingerprints`` /
       ``embedding_norms`` / ``minhash_sketch``: driver-green in
@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": analytics.doc_stats,
         "quality_scores": analytics.quality_scores,
         "train_split_stats": analytics.train_split_stats,  # added r5 close-out
+        "token_repetition_stats": textstats.token_repetition_stats,  # added r5 close-out
         # rows-only by nature
         "ivf_ann_topk": analytics.ivf_ann_topk,  # approximate: recall-bound-tested
         "kmeans_embeddings": analytics.kmeans_embeddings,  # iterative
@@ -1009,6 +1010,38 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(e.n_tokens, 0) AS n_tokens,
                    coalesce(e.entropy, 0.0) AS entropy
             FROM documents d LEFT JOIN e USING (doc_id)
+        """,
+        "token_repetition_stats": r"""
+            WITH tk AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            p AS (
+                SELECT doc_id, unnest(t) AS tok,
+                       unnest(range(1, len(t) + 1)) AS pos, len(t) AS n
+                FROM tk),
+            c AS (SELECT doc_id, tok, count(*) AS c, max(n) AS n
+                  FROM p GROUP BY doc_id, tok),
+            tf AS (SELECT doc_id, max(n) AS n,
+                          floor((CAST(max(c) AS DOUBLE) * 10000) / max(n))
+                            / 10000 AS top_frac
+                   FROM c GROUP BY doc_id),
+            -- gaps-and-islands: consecutive positions of one token share
+            -- (pos - row_number) and form one run
+            m AS (SELECT doc_id, tok, pos,
+                         pos - row_number() OVER (PARTITION BY doc_id, tok
+                                                  ORDER BY pos) AS grp
+                  FROM p),
+            runs AS (SELECT doc_id, count(*) AS run
+                     FROM m GROUP BY doc_id, tok, grp),
+            mr AS (SELECT doc_id, max(run) AS max_run FROM runs GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(tf.n, 0) AS n_tokens,
+                   coalesce(tf.top_frac, 0.0) AS top_token_frac,
+                   coalesce(mr.max_run, 0) AS max_run,
+                   coalesce(tf.top_frac <= 0.125 AND mr.max_run <= 2, FALSE) AS keep
+            FROM documents d
+            LEFT JOIN tf USING (doc_id)
+            LEFT JOIN mr USING (doc_id)
         """,
         "dup_ngram_ratio": r"""
             WITH tk AS (

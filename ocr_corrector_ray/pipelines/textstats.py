@@ -186,6 +186,51 @@ def doc_token_entropy(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def token_repetition_stats(sf_dir: str, max_top_frac: float = 0.125,
+                           max_run_len: int = 2):
+    """doc_id, n_tokens, top_token_frac, max_run, keep: the Gopher-style
+    (Rae et al. 2021) token-repetition quality rules — the most frequent
+    token's share of the doc and the longest consecutive-equal-token
+    run; ``keep`` applies both thresholds (empty docs fail).  top frac
+    is floor-scaled to 1e4 so it bit-matches the DuckDB oracle (whose
+    max_run comes from the classic gaps-and-islands window)."""
+    import math
+    from collections import Counter
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        nt, tf, mr, keep = [], [], [], []
+        for text in df["text"].fillna(""):
+            toks = text.split()
+            n = len(toks)
+            if n == 0:
+                nt.append(0)
+                tf.append(0.0)
+                mr.append(0)
+                keep.append(False)
+                continue
+            frac = math.floor(max(Counter(toks).values()) * 10000 / n) / 10000
+            a = np.asarray(toks, dtype=object)
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = a[1:] != a[:-1]
+            run = int(np.diff(np.append(np.flatnonzero(change), n)).max())
+            nt.append(n)
+            tf.append(frac)
+            mr.append(run)
+            keep.append(frac <= max_top_frac and run <= max_run_len)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_tokens": pd.Series(nt, dtype="int64"),
+            "top_token_frac": pd.Series(tf, dtype="float64"),
+            "max_run": pd.Series(mr, dtype="int64"),
+            "keep": pd.Series(keep, dtype="bool"),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def dup_ngram_ratio(sf_dir: str, n: int = 3):
     """doc_id, n_ngrams, dup_ratio: fraction of repeated token n-grams
     per document — the standard boilerplate/repetition filter in LLM

@@ -74,8 +74,10 @@ _TAIL_ORACLED_OK = {
     "quality_scores",
     # added at r5 close-out with the window already optimally packed
     # (48 oracled + the 2 flagship rows-only signals); the sf0.001
-    # parametrized oracle test above is its correctness row
+    # parametrized oracle test above + the local sf0.01 gate are their
+    # correctness rows
     "train_split_stats",
+    "token_repetition_stats",
 }
 
 
