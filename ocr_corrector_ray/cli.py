@@ -119,10 +119,6 @@ def main(argv=None) -> int:
             }))
             return 0
         if args.stage != "correct":
-            if args.checkpoint:
-                print("error: --checkpoint applies to --stage correct only",
-                      file=sys.stderr)
-                return 2
             from .stages import media as mediamod
 
             build = {
@@ -131,6 +127,22 @@ def main(argv=None) -> int:
                 "media-frame-sample": mediamod.media_frame_sample,
                 "media-audio": mediamod.media_audio_features,
             }[args.stage]
+            if args.checkpoint:
+                from .state.checkpoint import read_stage_output, run_stage_checkpointed
+
+                manifest = run_stage_checkpointed(
+                    src, args.output, build, num_partitions=args.num_partitions,
+                )
+                wall = time.perf_counter() - t0
+                n_rows = read_stage_output(args.output).count()
+                print(json.dumps({
+                    "input": src, "output": args.output, "stage": args.stage,
+                    "mode": "checkpointed", "rows": n_rows,
+                    "partitions": manifest.num_rows,
+                    "wall_s": round(wall, 3),
+                    "rows_per_s": round(n_rows / wall, 2) if wall > 0 else None,
+                }))
+                return 0
             ds = build(ray.data.read_parquet(src))
             if os.path.isdir(args.output):
                 err = output_clear_guard(args.output, src)

@@ -348,3 +348,147 @@ def read_corrected(out_dir: str):
     the import-time default, which silently drops partitions of the other
     format after a lance install (ADVICE r2)."""
     return get_driver(checkpoint_format(out_dir)).read_dir(_parts_dir(out_dir))
+
+
+# ---- generic per-doc stage checkpointing (media featurize/resize/...) --
+
+def write_stage_partition(batch: pa.Table, out_dir: str, num_partitions: int,
+                          fmt: Optional[str] = None) -> pa.Table:
+    """``write_partition`` generalized to ANY stage output carrying a
+    ``doc_id`` column (media features, thumbnails, sampled frames):
+    one fragment + one manifest row per hash partition.  Manifest reuses
+    MANIFEST_SCHEMA with ``rows_in`` = distinct input docs reaching the
+    writer and ``spans_corrected`` = rows emitted (the stage's unit of
+    work).  The group key column ``_pid`` is stripped before writing."""
+    t0 = time.perf_counter()
+    if batch.num_rows == 0:
+        return pa.Table.from_pylist([], schema=MANIFEST_SCHEMA)
+    pid = int(batch.column("_pid")[0].as_py())
+    batch = batch.drop_columns(["_pid"])
+    os.makedirs(_parts_dir(out_dir), exist_ok=True)
+    os.makedirs(_manifest_dir(out_dir), exist_ok=True)
+    doc_ids = sorted(set(batch.column("doc_id").to_pylist()))
+
+    driver = get_driver(fmt)
+    data_path = os.path.join(_parts_dir(out_dir), f"part-{pid:05d}.{driver.extension}")
+    driver.write_fragment(batch, data_path)  # atomic: data before manifest
+
+    mpath = os.path.join(_manifest_dir(out_dir), f"part-{pid:05d}.json")
+    fp = hashlib.md5("\n".join(doc_ids).encode()).hexdigest()
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            prev = json.load(f)
+        if prev.get("input_fingerprint") != fp:
+            raise RuntimeError(
+                f"partition {pid} written twice with different contents — "
+                "num_partitions too small for the block-size budget"
+            )
+    row = {
+        "partition_id": pid,
+        "num_partitions": num_partitions,
+        "input_fingerprint": fp,
+        "rows_in": len(doc_ids),
+        "spans_corrected": batch.num_rows,
+        "wall_s": round(time.perf_counter() - t0, 4),
+        "status": "done",
+        "format": driver.name,
+    }
+    mtmp = mpath + f".tmp.{os.getpid()}"
+    with open(mtmp, "w") as f:
+        json.dump(row, f)
+    os.replace(mtmp, mpath)
+    return pa.Table.from_pylist([row], schema=MANIFEST_SCHEMA)
+
+
+def run_stage_checkpointed(source, out_dir: str, stage_fn,
+                           num_partitions: int = 32):
+    """Resumable run of a per-doc stage over a ``bucketize_input``
+    layout: pending bucket FILES are pruned at the read (completed
+    partitions' bytes are never touched), the stage's output rows are
+    re-keyed by ``hash(doc_id) % P`` (the same modulus as the layout, so
+    every output partition derives from exactly its input bucket), and
+    each partition is written once with a lineage manifest row.
+
+    Unlike the flagship path this requires the bucketed layout — a
+    per-doc stage has no reassembly exchange to piggyback the writer on,
+    so the groupby here IS the bucket-restore shuffle (cheap: stage
+    outputs are feature-vector-sized, not corpus-sized).  Buckets whose
+    docs yield no stage rows (e.g. no media spans) are recorded done
+    with 0 rows, or a resume would re-pend them forever (the delta
+    plan's empty-bucket lesson, stages/delta.py)."""
+    import functools
+
+    from ..pipelines.correct import enable_hash_shuffle
+
+    enable_hash_shuffle()  # before the read: datasets snapshot the context
+    layout = read_layout(source)
+    if layout is None:
+        raise ValueError(
+            "stage checkpointing needs a bucketize_input layout "
+            "(run --bucketize-to first)"
+        )
+    if int(layout["num_partitions"]) != num_partitions:
+        raise ValueError(
+            f"bucketed input at {source} is laid out with "
+            f"num_partitions={layout['num_partitions']}; the checkpoint "
+            f"run must use the same value (got {num_partitions})"
+        )
+    check_num_partitions(out_dir, num_partitions)
+    files = pending_input_files(source, out_dir, layout)
+    if not files:
+        return read_manifest(out_dir)
+    pending_pids = [
+        int(os.path.basename(f)[len("bucket-"):].split(".")[0]) for f in files
+    ]
+    ds = get_driver(layout.get("format", "parquet")).read_files(files)
+    fmt = checkpoint_format(out_dir) or get_driver().name
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        pids = stable_partition_ids(
+            batch.column("doc_id").to_pylist(), num_partitions
+        )
+        return batch.append_column("_pid", pa.array(pids, pa.int32()))
+
+    writer = functools.partial(
+        write_stage_partition, out_dir=out_dir,
+        num_partitions=num_partitions, fmt=fmt,
+    )
+    # materialized ON PURPOSE: (a) the count below must not re-execute
+    # the stage, and (b) an ALL-empty hash exchange crashes the shuffle
+    # aggregators ("Invalid sort key column in <empty schema>", the
+    # hybrid plan's sentinel lesson) — skip the shuffle entirely when
+    # the stage emitted nothing.  Memory bound = stage output (feature
+    # rows), which the shuffle would hold in full anyway.
+    staged = (
+        stage_fn(ds).map_batches(add_pid, batch_format="pyarrow").materialize()
+    )
+    if staged.count() > 0:
+        manifest_ds = staged.groupby("_pid").map_groups(
+            writer, batch_format="pyarrow"
+        )
+        manifest_ds.materialize()  # drives the write; manifest is tiny
+    # a pending bucket whose docs produced NO stage rows never reached
+    # the writer — mark it done (0 rows) so the resume can prune its file
+    done = done_partitions(out_dir)
+    for pid in pending_pids:
+        if pid in done:
+            continue
+        mpath = os.path.join(_manifest_dir(out_dir), f"part-{pid:05d}.json")
+        os.makedirs(_manifest_dir(out_dir), exist_ok=True)
+        row = {
+            "partition_id": pid, "num_partitions": num_partitions,
+            "input_fingerprint": hashlib.md5(b"").hexdigest(),
+            "rows_in": 0, "spans_corrected": 0, "wall_s": 0.0,
+            "status": "done", "format": fmt,
+        }
+        mtmp = mpath + f".tmp.{os.getpid()}"
+        with open(mtmp, "w") as f:
+            json.dump(row, f)
+        os.replace(mtmp, mpath)
+    return read_manifest(out_dir)
+
+
+def read_stage_output(out_dir: str):
+    """Read a stage checkpoint's fragments back as one Dataset (same
+    format-resolution contract as ``read_corrected``)."""
+    return read_corrected(out_dir)

@@ -62,6 +62,76 @@ def test_bucketed_input_resume_prunes_files(ray_session, tmp_path):
     assert manifest3.num_rows == P
 
 
+def test_stage_checkpoint_resume_and_empty_buckets(ray_session, tmp_path):
+    """run_stage_checkpointed over the media featurizer: full run equals
+    the plain pipeline, a resume re-reads ONLY the lost partitions'
+    bucket files (mtimes prove it), and a bucket with docs but no media
+    spans is recorded done with 0 rows instead of re-pending forever."""
+    import ray.data
+
+    from ocr_corrector_ray.stages.media import media_features
+    from ocr_corrector_ray.state import checkpoint as ck
+
+    corpus = datagen.corpus_path(200)
+    buckets = str(tmp_path / "buckets")
+    out = str(tmp_path / "out")
+    P = 8
+
+    ck.bucketize_input(corpus, buckets, P)
+    manifest = ck.run_stage_checkpointed(buckets, out, media_features, num_partitions=P)
+    assert manifest.num_rows == P
+    got = {(r["doc_id"], r["offset"]): tuple(r["feature"])
+           for r in ck.read_stage_output(out).take_all()}
+    want = {(r["doc_id"], r["offset"]): tuple(r["feature"])
+            for r in media_features(ray.data.read_parquet(corpus)).take_all()}
+    assert got == want
+
+    # every manifest row's emitted-rows metric sums to the output size
+    total = sum(r["spans_corrected"] for r in manifest.to_pylist())
+    assert total == len(want)
+
+    # lose one partition; only its bucket re-enters the read plan
+    lost = 3
+    os.remove(os.path.join(out, "parts", f"part-{lost:05d}.parquet"))
+    os.remove(os.path.join(out, "manifest", f"part-{lost:05d}.json"))
+    layout = ck.read_layout(buckets)
+    pending = ck.pending_input_files(buckets, out, layout)
+    assert [os.path.basename(p) for p in pending] == [f"bucket-{lost:05d}.parquet"]
+    before = {p: os.path.getmtime(os.path.join(out, "parts", f"part-{p:05d}.parquet"))
+              for p in range(P) if p != lost}
+    manifest2 = ck.run_stage_checkpointed(buckets, out, media_features, num_partitions=P)
+    assert manifest2.num_rows == P
+    resumed = {(r["doc_id"], r["offset"]): tuple(r["feature"])
+               for r in ck.read_stage_output(out).take_all()}
+    assert resumed == want
+    for p, mtime in before.items():
+        assert os.path.getmtime(os.path.join(out, "parts", f"part-{p:05d}.parquet")) == mtime
+
+    # num_partitions guard applies to stage runs too
+    with pytest.raises(ValueError):
+        ck.run_stage_checkpointed(buckets, out, media_features, num_partitions=4)
+
+    # a stage yielding NO rows for any pending bucket (media over docs
+    # with zero media spans) still marks every partition done
+    import pyarrow as pa
+
+    def no_rows_stage(ds):
+        def empty(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": pa.array([], pa.string()),
+                "offset": pa.array([], pa.int32()),
+            })
+
+        return ds.map_batches(empty, batch_format="pyarrow")
+
+    out2 = str(tmp_path / "out2")
+    manifest3 = ck.run_stage_checkpointed(buckets, out2, no_rows_stage, num_partitions=P)
+    assert manifest3.num_rows == P
+    assert all(r["spans_corrected"] == 0 for r in manifest3.to_pylist())
+    # fully-done resume short-circuits
+    assert ck.run_stage_checkpointed(buckets, out2, no_rows_stage, num_partitions=P).num_rows == P
+
+
 def test_resume_with_different_num_partitions_fails_loudly(ray_session, tmp_path):
     from ocr_corrector_ray.state import checkpoint as ck
 
