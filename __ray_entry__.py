@@ -231,9 +231,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     query family gets a driver hash row.  Eight oracled queries sit in
     the tail because the window can't hold all of them; each is
     redundantly pinned by an in-window sibling that consumes the same
-    kernel, or (``train_split_stats`` / ``token_repetition_stats``,
-    added at r5 close-out with the window already packed) by the
-    full-oracle-surface pytest at sf0.001 + the local sf0.01 gate:
+    kernel, or (``train_split_stats`` / ``token_repetition_stats`` /
+    ``unigram_xent_docs``, added at r5 close-out with the window
+    already packed) by the full-oracle-surface pytest at sf0.001 + the
+    local sf0.01 gate:
 
     - ``token_counts`` / ``lang_script`` / ``fingerprints`` /
       ``embedding_norms`` / ``minhash_sketch``: driver-green in
@@ -330,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": analytics.quality_scores,
         "train_split_stats": analytics.train_split_stats,  # added r5 close-out
         "token_repetition_stats": textstats.token_repetition_stats,  # added r5 close-out
+        "unigram_xent_docs": textstats.unigram_xent_docs,  # added r5 close-out
         # rows-only by nature
         "ivf_ann_topk": analytics.ivf_ann_topk,  # approximate: recall-bound-tested
         "kmeans_embeddings": analytics.kmeans_embeddings,  # iterative
@@ -1009,6 +1011,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    coalesce(e.n_tokens, 0) AS n_tokens,
                    coalesce(e.entropy, 0.0) AS entropy
+            FROM documents d LEFT JOIN e USING (doc_id)
+        """,
+        "unigram_xent_docs": r"""
+            WITH tk AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            p AS (SELECT doc_id, unnest(t) AS tok, len(t) AS n FROM tk),
+            c AS (SELECT doc_id, tok, count(*) AS c, max(n) AS n
+                  FROM p GROUP BY doc_id, tok),
+            ct AS (SELECT tok, sum(c) AS ct FROM c GROUP BY tok),
+            tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS n_total FROM ct),
+            e AS (
+                SELECT c.doc_id, max(c.n) AS n_tokens,
+                       floor(sum(c.c * (log2((SELECT n_total FROM tot))
+                                        - log2(CAST(ct.ct AS DOUBLE))))
+                             / max(c.n) * 10000) / 10000 AS xent
+                FROM c JOIN ct USING (tok) GROUP BY c.doc_id)
+            SELECT d.doc_id,
+                   coalesce(e.n_tokens, 0) AS n_tokens,
+                   coalesce(e.xent, 0.0) AS xent
             FROM documents d LEFT JOIN e USING (doc_id)
         """,
         "token_repetition_stats": r"""

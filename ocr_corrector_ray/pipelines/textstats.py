@@ -433,6 +433,164 @@ def curated_docs(sf_dir: str, min_tokens: int = 20, min_stop: float = 0.01,
     )
 
 
+def unigram_xent_docs(sf_dir: str, num_buckets: int | None = None):
+    """doc_id, n_tokens, xent: per-doc cross-entropy (bits/token) under
+    the corpus's OWN unigram distribution — the CCNet-style perplexity
+    quality signal (Wenzek et al. 2020; low = stereotypical text, high =
+    rare-token soup), the cross-doc complement of the in-doc
+    ``doc_token_entropy``.  xent = sum(c * (log2(N) - log2(ct))) / n
+    over the doc's distinct tokens (ct = corpus count of the token,
+    N = corpus token total), floor-scaled to 1e4; empty docs emit 0/0.0.
+
+    Scale shape mirrors ``tfidf_top_terms``: ONE tokenize scan into the
+    compact (doc, token, c, n_toks) intermediate (materialized,
+    spillable), a distributed token-count table (never driver-sized),
+    the ``_bucketed_attach``-style co-bucket on hash64(token) to score
+    rows in-bucket, and a doc-bucketed finish — three bounded
+    exchanges.  N comes from in-batch partial sums (one tiny row per
+    batch reaches the driver)."""
+    import math
+
+    import pyarrow as pa
+
+    from ..functions.hashing import hash64_array
+    from ._agg import grouped_agg
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+
+    num_buckets = num_buckets or default_num_buckets()
+    phys = physical_partitions(num_buckets)
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    TAGGED = pa.schema([
+        ("doc_id", pa.int64()), ("token", pa.string()), ("c", pa.int64()),
+        ("n_toks", pa.int64()), ("ct", pa.int64()), ("__side", pa.string()),
+        ("__bkt", pa.int32()),
+    ])
+    CONTRIB = pa.schema([
+        ("doc_id", pa.int64()), ("n_toks", pa.int64()), ("contrib", pa.float64()),
+    ])
+
+    def doc_term_rows(df: pd.DataFrame) -> pa.Table:
+        from itertools import chain
+
+        toks = df["text"].fillna("").str.split()
+        n_toks = toks.str.len().to_numpy(dtype="int64")
+        ex = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(dtype="int64").repeat(n_toks),
+            "token": pd.Series(list(chain.from_iterable(toks)), dtype=object),
+            "n_toks": n_toks.repeat(n_toks),
+        })
+        g = ex.groupby(["doc_id", "token"], as_index=False, sort=False).agg(
+            c=("n_toks", "size"), n_toks=("n_toks", "first")
+        )
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(dtype="int64")),
+            "token": pa.array(g["token"], pa.string()),
+            "c": pa.array(g["c"].to_numpy(dtype="int64")),
+            "n_toks": pa.array(g["n_toks"].to_numpy(dtype="int64")),
+        })
+
+    rows_m = ds.map_batches(doc_term_rows, batch_format="pandas").materialize()
+
+    # corpus token total: per-batch partial sums, one tiny row per batch
+    # (iter_batches may COALESCE several partial rows into one batch —
+    # sum the whole column, not row 0)
+    n_total = sum(
+        int(b["partial"].sum()) for b in rows_m.map_batches(
+            lambda d: pd.DataFrame({"partial": [int(d["c"].sum())]}),
+            batch_format="pandas",
+        ).iter_batches(batch_format="pandas")
+    )
+
+    ct_tbl = grouped_agg(
+        rows_m.map_batches(lambda d: d[["token", "c"]], batch_format="pandas"),
+        ["token"], {"ct": ("c", "sum")}, num_partitions=num_buckets,
+    ).map_batches(arrow_out, batch_format="pandas")
+
+    def _bkt(tokens) -> np.ndarray:
+        return (hash64_array(list(tokens)) % np.uint64(num_buckets)).astype("int32")
+
+    def tag_rows(d: pd.DataFrame) -> pa.Table:
+        n = len(d)
+        return pa.Table.from_arrays([
+            pa.array(d["doc_id"].to_numpy(dtype="int64")),
+            pa.array(d["token"], pa.string()),
+            pa.array(d["c"].to_numpy(dtype="int64")),
+            pa.array(d["n_toks"].to_numpy(dtype="int64")),
+            pa.array(np.full(n, -1, dtype="int64")),
+            pa.array(["r"] * n, pa.string()),
+            pa.array(_bkt(d["token"])),
+        ], schema=TAGGED)
+
+    def tag_ct(d: pd.DataFrame) -> pa.Table:
+        n = len(d)
+        return pa.Table.from_arrays([
+            pa.array(np.full(n, -1, dtype="int64")),
+            pa.array(d["token"], pa.string()),
+            pa.array(np.full(n, -1, dtype="int64")),
+            pa.array(np.full(n, 1, dtype="int64")),
+            pa.array(d["ct"].to_numpy(dtype="int64")),
+            pa.array(["t"] * n, pa.string()),
+            pa.array(_bkt(d["token"])),
+        ], schema=TAGGED)
+
+    both = rows_m.map_batches(tag_rows, batch_format="pandas").union(
+        ct_tbl.map_batches(tag_ct, batch_format="pandas")
+    )
+    log2_n = math.log2(float(n_total)) if n_total else 0.0
+
+    def score_bucket(g: pd.DataFrame) -> pa.Table:
+        t = g[g["__side"] == "t"]
+        r = g[g["__side"] == "r"]
+        lut = dict(zip(t["token"].tolist(), t["ct"].tolist()))
+        ct = r["token"].map(lut).to_numpy(dtype="float64")
+        contrib = r["c"].to_numpy(dtype="float64") * (log2_n - np.log2(ct))
+        return pa.Table.from_arrays([
+            pa.array(r["doc_id"].to_numpy(dtype="int64")),
+            pa.array(r["n_toks"].to_numpy(dtype="int64")),
+            pa.array(contrib),
+        ], schema=CONTRIB)
+
+    scored = both.groupby("__bkt", num_partitions=phys).map_groups(
+        score_bucket, batch_format="pandas"
+    )
+
+    def add_dbkt(t: pa.Table) -> pa.Table:
+        dd = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column("__dbkt", pa.array((dd % num_buckets).astype("int32")))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("doc_id", as_index=False, sort=False).agg(
+            n_tokens=("n_toks", "first"), s=("contrib", "sum")
+        )
+        xent = np.floor(agg["s"].to_numpy() / agg["n_tokens"].to_numpy()
+                        * 10000) / 10000
+        return pd.DataFrame({
+            "doc_id": agg["doc_id"].to_numpy(dtype="int64"),
+            "n_tokens": agg["n_tokens"].to_numpy(dtype="int64"),
+            "xent": xent,
+        })
+
+    body = (
+        scored.map_batches(add_dbkt, batch_format="pyarrow")
+        .groupby("__dbkt", num_partitions=phys)
+        .map_groups(finish, batch_format="pandas")
+    )
+
+    # empty docs never enter the token rows: union their 0/0.0 rows back
+    # (footer-cheap id scan, vectorized emptiness mask)
+    def empties(df: pd.DataFrame) -> pd.DataFrame:
+        mask = df["text"].fillna("").str.split().str.len() == 0
+        d = df[mask]
+        return pd.DataFrame({
+            "doc_id": d["doc_id"].to_numpy(dtype="int64"),
+            "n_tokens": np.zeros(len(d), dtype="int64"),
+            "xent": np.zeros(len(d), dtype="float64"),
+        })
+
+    return body.union(ds.map_batches(empties, batch_format="pandas"))
+
+
 def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 2,
                     num_buckets: int | None = None):
     """Per-doc top-k TF-IDF terms (doc_id, term, tfidf) — the classic

@@ -78,6 +78,7 @@ _TAIL_ORACLED_OK = {
     # correctness rows
     "train_split_stats",
     "token_repetition_stats",
+    "unigram_xent_docs",
 }
 
 
