@@ -228,13 +228,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     The driver checks the FIRST 50 entries in insertion order.  Entries
     1-50 are the two flagship rows-only signals (``ocr_correct``,
     ``ocr_extract``) plus 48 DuckDB-oracled queries, so every oracled
-    query family gets a driver hash row.  Eight oracled queries sit in
-    the tail because the window can't hold all of them; each is
-    redundantly pinned by an in-window sibling that consumes the same
-    kernel, or (``train_split_stats`` / ``token_repetition_stats`` /
-    ``unigram_xent_docs``, added at r5 close-out with the window
-    already packed) by the full-oracle-surface pytest at sf0.001 + the
-    local sf0.01 gate:
+    query family gets a driver hash row.  Ten oracled queries sit in
+    the tail because the window can't hold all of them; every one of
+    them is driver-green in a PREVIOUS round's CORRECTNESS file (rows
+    on disk), so with this ordering every oracled query has a driver
+    hash row in some round's file:
 
     - ``token_counts`` / ``lang_script`` / ``fingerprints`` /
       ``embedding_norms`` / ``minhash_sketch``: driver-green in
@@ -244,10 +242,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
       ``ann_topk``/``embedding_cosine_pairs`` divide by the same norms,
       ``minhash_neardup_pairs`` bands the same signature values).
     - ``doc_stats`` / ``quality_scores``: driver-green in BOTH
-      CORRECTNESS_r03 and r04 (rows on disk); swapped out in r5 so the
-      two never-driver-checked queries ``doc_token_entropy`` and
-      ``dup_ngram_ratio`` get a direct hash row — with this swap every
-      oracled query has a driver hash row in some round's file.
+      CORRECTNESS_r03 and r04; swapped out in r5 so the never-checked
+      ``doc_token_entropy`` and ``dup_ngram_ratio`` get a direct row.
+    - ``event_type_distinct_users`` / ``customers_with_orders`` /
+      ``top_customers``: driver-green in CORRECTNESS_r04; swapped out
+      this session so the three r5-close-out additions
+      (``train_split_stats``, ``token_repetition_stats``,
+      ``unigram_xent_docs``) get a direct hash row.
 
     The rest of the tail is rows-only by nature (see ``oracle_sql``).
     """
@@ -274,10 +275,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_revenue": analytics.part_type_revenue,
         "user_running_value": analytics.user_running_value,
         "ngram_topk": analytics.ngram_topk,
-        "event_type_distinct_users": analytics.event_type_distinct_users,
         "customers_without_orders": analytics.customers_without_orders,
-        "customers_with_orders": analytics.customers_with_orders,
-        "top_customers": analytics.top_customers,
+        "train_split_stats": analytics.train_split_stats,
+        "token_repetition_stats": textstats.token_repetition_stats,
+        "unigram_xent_docs": textstats.unigram_xent_docs,
         "order_revenue": analytics.order_revenue,
         "purchase_prior_click": analytics.purchase_prior_click,
         "part_type_stats": analytics.part_type_stats,
@@ -329,9 +330,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_sketch": dedup.minhash_sketch,
         "doc_stats": analytics.doc_stats,
         "quality_scores": analytics.quality_scores,
-        "train_split_stats": analytics.train_split_stats,  # added r5 close-out
-        "token_repetition_stats": textstats.token_repetition_stats,  # added r5 close-out
-        "unigram_xent_docs": textstats.unigram_xent_docs,  # added r5 close-out
+        "event_type_distinct_users": analytics.event_type_distinct_users,
+        "customers_with_orders": analytics.customers_with_orders,
+        "top_customers": analytics.top_customers,
         # rows-only by nature
         "ivf_ann_topk": analytics.ivf_ann_topk,  # approximate: recall-bound-tested
         "kmeans_embeddings": analytics.kmeans_embeddings,  # iterative
