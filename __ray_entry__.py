@@ -333,6 +333,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_distinct_users": analytics.event_type_distinct_users,
         "customers_with_orders": analytics.customers_with_orders,
         "top_customers": analytics.top_customers,
+        # oracled, added this session with the window already packed:
+        # the sf0.001 parametrized oracle pytest + the local sf0.01
+        # gate are their correctness evidence
+        "line_dedup_docs": textstats.line_dedup_docs,
+        "redact_pii_docs": textstats.redact_pii_docs,
+        "user_retention_cohorts": analytics.user_retention_cohorts,
         # rows-only by nature
         "ivf_ann_topk": analytics.ivf_ann_topk,  # approximate: recall-bound-tested
         "kmeans_embeddings": analytics.kmeans_embeddings,  # iterative
@@ -1157,4 +1163,67 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_pdf_kernel": extract_pdf_sql,
         "extract_html_kernel": extract_html_sql,
+        # C4-style line-level dedup: 8-token chunks, corpus-wide first
+        # occurrence survives (min doc_id, then min position); the
+        # dedup key is md5_number_lower(chunk) >> 1 on BOTH sides (the
+        # repo's shared hash64 idiom, functions/hashing.py)
+        "line_dedup_docs": r"""
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            chunks AS (
+              SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+                     array_to_string(t[(u.i*8+1):(u.i*8+8)], ' ') AS chunk
+              FROM toks, LATERAL (SELECT unnest(range(CAST(ceil(len(t)/8.0) AS BIGINT))) AS i) u
+            ),
+            ranked AS (
+              SELECT doc_id, chunk_idx, chunk,
+                     count(*) OVER (PARTITION BY doc_id) AS n_chunks,
+                     min(doc_id * 1048576 + chunk_idx)
+                         OVER (PARTITION BY md5_number_lower(chunk) >> 1) AS wkey
+              FROM chunks
+            )
+            SELECT doc_id,
+                   string_agg(chunk, ' ' ORDER BY chunk_idx) AS kept_text,
+                   min(n_chunks) AS n_chunks,
+                   count(*) AS n_kept
+            FROM ranked WHERE doc_id * 1048576 + chunk_idx = wkey
+            GROUP BY doc_id
+        """,
+        # PII scrub over artifact-wrapped text (deterministic injection,
+        # the extract-kernel wrap pattern); scrub order pinned
+        # email -> phone -> IP on both sides, RE2-compatible patterns
+        "redact_pii_docs": r"""
+            WITH wrapped AS (
+              SELECT doc_id,
+                     coalesce(text, '') || ' contact user' || doc_id || '@example.com'
+                     || CASE WHEN doc_id % 2 = 1 THEN ' alt' || doc_id || '@mail.example.org' ELSE '' END
+                     || ' tel 555-' || (1000 + doc_id % 9000)
+                     || CASE WHEN doc_id % 3 = 0 THEN ' host 10.0.' || (doc_id % 256) || '.' || (doc_id % 254 + 1) ELSE '' END
+                     AS t
+              FROM documents
+            ),
+            e AS (SELECT doc_id,
+                         len(regexp_extract_all(t, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+\.[A-Za-z]{2,}')) AS n_emails,
+                         regexp_replace(t, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+                  FROM wrapped),
+            p AS (SELECT doc_id, n_emails,
+                         len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS n_phones,
+                         regexp_replace(t, '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS t
+                  FROM e)
+            SELECT doc_id, n_emails, n_phones,
+                   len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+                   regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean_text
+            FROM p
+        """,
+        # product-analytics retention triangle: cohort = day of a
+        # user's first event; n_users = cohort members active at each
+        # day offset
+        "user_retention_cohorts": """
+            WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+            firsts AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
+            SELECT f.cohort_day,
+                   date_diff('day', f.cohort_day, u.day) AS day_offset,
+                   count(*) AS n_users
+            FROM ud u JOIN firsts f USING (user_id)
+            GROUP BY 1, 2
+        """,
     }

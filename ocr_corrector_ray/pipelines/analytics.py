@@ -1670,3 +1670,54 @@ def dedup_exact_keep_best(sf_dir: str, num_buckets: int | None = None):
         .groupby("bucket", num_partitions=physical_partitions(num_buckets))
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def user_retention_cohorts(sf_dir: str, num_buckets: int | None = None):
+    """Cohort retention matrix (cohort_day, day_offset, n_users): users
+    are cohorted by the DAY of their first event; n_users counts how
+    many of a cohort's users were active day_offset days later — the
+    standard product-analytics retention triangle.
+
+    Plan: an in-batch combiner first reduces events to distinct
+    (user_id, day) pairs (the events table has many events per
+    user-day, so this is the big reduction and it happens before any
+    exchange); ONE user-bucketed exchange then computes each user's
+    cohort day and per-(cohort, offset) partial counts — every user
+    lives wholly in one bucket, so partials sum exactly; the final
+    groupby merges a triangle-sized table (days x offsets), independent
+    of corpus size."""
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+
+    num_buckets = num_buckets or default_num_buckets()
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def distinct_user_day(df: pd.DataFrame):
+        out = pd.DataFrame({
+            "user_id": df["user_id"],
+            "day": df["ts"].dt.floor("D"),
+        }).drop_duplicates()
+        return arrow_out(out.assign(
+            bucket=(out["user_id"] % num_buckets).astype("int32")))
+
+    def per_bucket(df: pd.DataFrame):
+        df = df.drop_duplicates(["user_id", "day"])
+        first = df.groupby("user_id")["day"].transform("min")
+        offset = (df["day"] - first).dt.days.astype("int64")
+        out = (
+            pd.DataFrame({"cohort_day": first, "day_offset": offset})
+            .groupby(["cohort_day", "day_offset"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        return arrow_out(out)
+
+    partials = (
+        ds.map_batches(distinct_user_day, batch_format="pandas")
+        .groupby("bucket", num_partitions=physical_partitions(num_buckets))
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    from ._agg import grouped_agg
+
+    return grouped_agg(
+        partials, ["cohort_day", "day_offset"], {"n_users": ("n_users", "sum")}
+    )

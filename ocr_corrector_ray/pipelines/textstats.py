@@ -844,3 +844,188 @@ def decontaminate_docs(sf_dir: str, n: int = 3, bench_mod: int = 97):
         Probe, fn_constructor_kwargs={"ref": bench_ref},
         batch_format="pandas", concurrency=(1, 8)
     )
+
+
+def line_dedup_docs(sf_dir: str, chunk_tokens: int = 8, num_buckets: int | None = None):
+    """C4-style line-level exact deduplication (doc_id, kept_text,
+    n_chunks, n_kept): each document's token stream is segmented into
+    consecutive ``chunk_tokens``-token chunks ("lines" — the synthetic
+    corpus has no newlines, so the fixed-width segmentation is the
+    deterministic stand-in); a chunk survives iff its (doc_id,
+    chunk_idx) is the corpus-wide FIRST occurrence of that chunk text
+    (min doc_id, then min position — C4 keeps one copy of every
+    three-sentence span; same shape here).  Docs whose every chunk lost
+    are dropped.
+
+    Plan (2 exchanges, text crosses only the doc-local reassembly):
+
+    1. map_batches: chunk + hash64 each chunk (md5 low bytes ==
+       DuckDB's ``md5_number_lower``, the module's shared idiom) and
+       emit (doc_id, chunk_idx, h, bucket=h%B) — 16 bytes/chunk, no
+       text, in-batch work fully vectorized.
+    2. groupby(h-bucket): all copies of a chunk share a bucket, so ONE
+       vectorized transform('min') per bucket finds every winner and
+       filters to surviving (doc_id, chunk_idx) pairs.
+    3. union survivors with documents on a doc_id bucket
+       (the ``_bucketed_attach`` / order_revenue co-location pattern):
+       each doc re-chunks its own text locally and emits the kept
+       chunks in order.  Per-bucket memory = |docs|/B.
+
+    At 100 TB the dedup exchange carries ~2% of corpus bytes (hashes +
+    positions) and the reassembly streams each doc exactly once."""
+    import pyarrow as pa
+
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+
+    num_buckets = num_buckets or default_num_buckets()
+    path = _p(sf_dir, "documents")
+    # encodes (doc_id, chunk_idx) as one orderable int64; chunk_idx of a
+    # doc is < 2^20 chunks (100 TB docs are < 8M tokens each)
+    POS = 1 << 20
+
+    def chunk_rows(df: pd.DataFrame):
+        doc_ids, idxs, grams = [], [], []
+        for did, text in zip(df["doc_id"].to_numpy(), df["text"].fillna("")):
+            toks = text.split(" ")
+            n = (len(toks) + chunk_tokens - 1) // chunk_tokens
+            doc_ids.append(np.full(n, did, dtype=np.int64))
+            idxs.append(np.arange(n, dtype=np.int64))
+            grams.extend(
+                " ".join(toks[i * chunk_tokens:(i + 1) * chunk_tokens]) for i in range(n)
+            )
+        doc_id = np.concatenate(doc_ids) if doc_ids else np.array([], dtype=np.int64)
+        idx = np.concatenate(idxs) if idxs else np.array([], dtype=np.int64)
+        h = (hash64_array(grams) >> np.uint64(1)).astype(np.int64)
+        return arrow_out(pd.DataFrame({
+            "doc_id": doc_id,
+            "chunk_idx": idx,
+            "h": h,
+            "bucket": (h % num_buckets).astype("int32"),
+        }))
+
+    def winners(df: pd.DataFrame):
+        key = df["doc_id"] * POS + df["chunk_idx"]
+        kept = key == key.groupby(df["h"]).transform("min")
+        out = df.loc[kept, ["doc_id", "chunk_idx"]]
+        return arrow_out(pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(),
+            "chunk_idx": out["chunk_idx"].to_numpy(),
+        }))
+
+    survivors = (
+        ray.data.read_parquet(path, columns=["doc_id", "text"])
+        .map_batches(chunk_rows, batch_format="pandas")
+        .groupby("bucket", num_partitions=physical_partitions(num_buckets))
+        .map_groups(winners, batch_format="pandas")
+    )
+
+    # reassembly: co-locate survivors with their doc's text by doc_id
+    # bucket; the doc side re-chunks locally (cheap, vectorized string
+    # slicing per doc) so chunk text itself never crossed the dedup
+    # exchange
+    def tag_kept(df: pd.DataFrame):
+        return arrow_out(pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "chunk_idx": df["chunk_idx"].to_numpy(),
+            "text": pd.Series([None] * len(df), dtype="object"),
+            "dbkt": (df["doc_id"] % num_buckets).astype("int32").to_numpy(),
+        }), null_casts={"text": pa.string()})
+
+    def tag_docs(df: pd.DataFrame):
+        return arrow_out(pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "chunk_idx": np.full(len(df), -1, dtype=np.int64),
+            "text": df["text"].fillna(""),
+            "dbkt": (df["doc_id"] % num_buckets).astype("int32").to_numpy(),
+        }), null_casts={"text": pa.string()})
+
+    def reassemble(df: pd.DataFrame):
+        texts = dict(zip(
+            df.loc[df["chunk_idx"] < 0, "doc_id"].tolist(),
+            df.loc[df["chunk_idx"] < 0, "text"].tolist(),
+        ))
+        kept = df[df["chunk_idx"] >= 0].sort_values(["doc_id", "chunk_idx"])
+        out_doc, out_text, out_nc, out_nk = [], [], [], []
+        for did, g in kept.groupby("doc_id", sort=True):
+            toks = texts[did].split(" ")
+            n_chunks = (len(toks) + chunk_tokens - 1) // chunk_tokens
+            pieces = [
+                " ".join(toks[i * chunk_tokens:(i + 1) * chunk_tokens])
+                for i in g["chunk_idx"].to_numpy()
+            ]
+            out_doc.append(did)
+            out_text.append(" ".join(pieces))
+            out_nc.append(n_chunks)
+            out_nk.append(len(pieces))
+        return arrow_out(pd.DataFrame({
+            "doc_id": pd.Series(out_doc, dtype="int64"),
+            "kept_text": pd.Series(out_text, dtype="object"),
+            "n_chunks": pd.Series(out_nc, dtype="int64"),
+            "n_kept": pd.Series(out_nk, dtype="int64"),
+        }), null_casts={"kept_text": pa.string()})
+
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    return (
+        survivors.map_batches(tag_kept, batch_format="pandas")
+        .union(docs.map_batches(tag_docs, batch_format="pandas"))
+        .groupby("dbkt", num_partitions=physical_partitions(num_buckets))
+        .map_groups(reassemble, batch_format="pandas")
+    )
+
+
+# RE2-compatible (no lookaround) so DuckDB's regexp_* mirrors them exactly;
+# compiled once at module import, shared by every worker that imports it
+_PII_EMAIL = r"[A-Za-z0-9_.]+@[A-Za-z0-9.]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _wrap_pii(df: pd.DataFrame) -> pd.Series:
+    """Deterministic PII injection (the extract-kernel artifact-wrap
+    pattern, analytics._wrap_pdf): contact lines derived from doc_id are
+    appended so the scrub kernel has real matches at every density —
+    odd docs carry a second e-mail, every third doc an IP."""
+    d = df["doc_id"].astype("int64")
+    tail = (
+        " contact user" + d.astype(str) + "@example.com"
+        + (" alt" + d.astype(str) + "@mail.example.org").where(d % 2 == 1, "")
+        + " tel 555-" + (1000 + d % 9000).astype(str)
+        + (" host 10.0." + (d % 256).astype(str) + "." + (d % 254 + 1).astype(str)).where(
+            d % 3 == 0, ""
+        )
+    )
+    return df["text"].fillna("") + tail
+
+
+def redact_pii_docs(sf_dir: str):
+    """PII scrub (doc_id, clean_text, n_emails, n_phones, n_ips):
+    e-mails, phone numbers and IPv4 addresses are replaced with typed
+    placeholder tags and counted, over artifact-wrapped documents.text
+    (deterministic injection — the corpus itself carries no PII).
+
+    Embarrassingly parallel: one map_batches, compiled-regex
+    ``pandas.str`` kernels (C-level loop), no exchange — at 100 TB this
+    runs at read bandwidth.  Order matters and is pinned: e-mails are
+    scrubbed BEFORE IPs so a dotted mail domain can't be half-eaten by
+    the IP rule; the SQL mirror applies the same order."""
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    from ._util import arrow_out
+
+    def scrub(df: pd.DataFrame):
+        t = _wrap_pii(df)
+        n_emails = t.str.count(_PII_EMAIL)
+        t = t.str.replace(_PII_EMAIL, "<EMAIL>", regex=True)
+        n_phones = t.str.count(_PII_PHONE)
+        t = t.str.replace(_PII_PHONE, "<PHONE>", regex=True)
+        n_ips = t.str.count(_PII_IP)
+        t = t.str.replace(_PII_IP, "<IP>", regex=True)
+        return arrow_out(pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "clean_text": t,
+            "n_emails": n_emails.astype("int64"),
+            "n_phones": n_phones.astype("int64"),
+            "n_ips": n_ips.astype("int64"),
+        }))
+
+    return ds.map_batches(scrub, batch_format="pandas")

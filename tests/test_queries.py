@@ -72,13 +72,19 @@ _TAIL_ORACLED_OK = {
     "minhash_sketch",
     "doc_stats",
     "quality_scores",
-    # added at r5 close-out with the window already optimally packed
-    # (48 oracled + the 2 flagship rows-only signals); the sf0.001
-    # parametrized oracle test above + the local sf0.01 gate are their
-    # correctness rows
-    "train_split_stats",
-    "token_repetition_stats",
-    "unigram_xent_docs",
+    # swapped out of the window in the r5 session so the three
+    # close-out additions (train_split_stats, token_repetition_stats,
+    # unigram_xent_docs) get a direct driver hash row; these three are
+    # driver-green in CORRECTNESS_r04
+    "event_type_distinct_users",
+    "customers_with_orders",
+    "top_customers",
+    # added in the r5 session with the window already packed; the
+    # sf0.001 parametrized oracle test + the local sf0.01 gate are
+    # their correctness evidence
+    "line_dedup_docs",
+    "redact_pii_docs",
+    "user_retention_cohorts",
 }
 
 
