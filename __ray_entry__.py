@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_docs": textstats.line_dedup_docs,
         "redact_pii_docs": textstats.redact_pii_docs,
         "user_retention_cohorts": analytics.user_retention_cohorts,
+        "local_supplier_volume": analytics.local_supplier_volume,
         # rows-only by nature
         "ivf_ann_topk": analytics.ivf_ann_topk,  # approximate: recall-bound-tested
         "kmeans_embeddings": analytics.kmeans_embeddings,  # iterative
@@ -1225,5 +1226,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_users
             FROM ud u JOIN firsts f USING (user_id)
             GROUP BY 1, 2
+        """,
+        # TPC-H Q5 shape: 6-table snowflake with the customer-nation =
+        # supplier-nation cross-dimension equality, region-filtered
+        "local_supplier_volume": """
+            SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+            GROUP BY n_name
         """,
     }

@@ -1721,3 +1721,135 @@ def user_retention_cohorts(sf_dir: str, num_buckets: int | None = None):
     return grouped_agg(
         partials, ["cohort_day", "day_offset"], {"n_users": ("n_users", "sum")}
     )
+
+
+def local_supplier_volume(sf_dir: str, region: str = "ASIA", num_buckets: int | None = None):
+    """TPC-H Q5 shape (n_name, revenue): revenue by nation from line
+    items whose CUSTOMER and SUPPLIER share a nation inside ``region``
+    — the classic 6-table snowflake with a cross-dimension equality.
+
+    Join tiering (the fixed-cluster strategy this module uses
+    throughout): region ⋈ nation ⋈ supplier are broadcast once via
+    ``ray.put`` (supplier is the smallest fact-adjacent dimension —
+    TPC-H sizes it at 1/15th of customer); lineitem ⋈ orders — the two
+    big tables — is the explicit partitioned hash join on orderkey
+    (``order_revenue`` pattern), with the supplier-nation filter and a
+    (custkey, nation) partial-sum combiner applied per bucket BEFORE
+    anything else moves; customer — big at corpus scale, never
+    broadcast — contributes c_nationkey through a second bucketed
+    point-lookup exchange on custkey whose left side is the combined
+    partials, not raw line items."""
+    import pyarrow as pa
+
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+
+    num_buckets = num_buckets or default_num_buckets()
+
+    import ray as _ray
+
+    # broadcast side: suppkey -> nationkey, restricted to the region's
+    # nations; nationkey -> name for the final label
+    nation = pd.read_parquet(_p(sf_dir, "nation"))
+    region_df = pd.read_parquet(_p(sf_dir, "region"))
+    rk = region_df.loc[region_df["r_name"] == region, "r_regionkey"]
+    nat_in_region = nation[nation["n_regionkey"].isin(rk)]
+    nat_names = dict(zip(nat_in_region["n_nationkey"], nat_in_region["n_name"]))
+    supplier = pd.read_parquet(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    supplier = supplier[supplier["s_nationkey"].isin(nat_names)]
+    supp_ref = _ray.put(dict(zip(supplier["s_suppkey"], supplier["s_nationkey"])))
+    names_ref = _ray.put(nat_names)
+
+    orders = ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    items = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def tag_orders(df: pd.DataFrame):
+        return arrow_out(pd.DataFrame({
+            "key": df["o_orderkey"],
+            "bucket": (df["o_orderkey"] % num_buckets).astype("int32"),
+            "custkey": df["o_custkey"],
+            "suppnat": np.full(len(df), -1, dtype=np.int64),
+            "revenue": np.full(len(df), np.nan),
+            "side": "o",
+        }))
+
+    def tag_items(df: pd.DataFrame):
+        """Supplier-nation semi-filter runs at the SCAN: line items
+        outside the region never enter the join exchange.  A plain task
+        (not an actor pool): ``ray.get`` of the broadcast dict is
+        cached per worker process, and a task pool can't contribute to
+        an actor-pool resource deadlock at low CPU counts (two min-1
+        actor pools wedged the 4-CPU pytest session)."""
+        s2n = _ray.get(supp_ref)
+        nat = df["l_suppkey"].map(s2n)
+        keep = nat.notna()
+        df = df[keep]
+        return arrow_out(pd.DataFrame({
+            "key": df["l_orderkey"].to_numpy(),
+            "bucket": (df["l_orderkey"] % num_buckets).astype("int32").to_numpy(),
+            "custkey": np.full(int(keep.sum()), -1, dtype=np.int64),
+            "suppnat": nat[keep].astype("int64").to_numpy(),
+            "revenue": (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy(),
+            "side": "l",
+        }))
+
+    def join_bucket(df: pd.DataFrame):
+        o = df[df["side"] == "o"]
+        l = df[df["side"] == "l"]
+        m = l.merge(o[["key", "custkey"]], on="key", suffixes=("", "_o"))
+        # combiner: partial sums per (custkey, supplier-nation) shrink
+        # the customer-lookup exchange to distinct pairs per bucket
+        part = (
+            m.groupby(["custkey_o", "suppnat"], sort=False)["revenue"].sum().reset_index()
+        )
+        return arrow_out(pd.DataFrame({
+            "custkey": part["custkey_o"].astype("int64"),
+            "suppnat": part["suppnat"].astype("int64"),
+            "revenue": part["revenue"],
+        }))
+
+    partials = (
+        items.map_batches(tag_items, batch_format="pandas")
+        .union(orders.map_batches(tag_orders, batch_format="pandas"))
+        .groupby("bucket", num_partitions=physical_partitions(num_buckets))
+        .map_groups(join_bucket, batch_format="pandas")
+    )
+
+    # customer-side nation via bucketed point lookup on custkey, then
+    # the cross-dimension equality filter and the nation-sized final agg
+    from .dedup import _bucketed_attach
+
+    attached = _bucketed_attach(
+        partials,
+        ray.data.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]),
+        key_col="custkey",
+        src_key="c_custkey",
+        src_val="c_nationkey",
+        out_col="custnat",
+        num_buckets=num_buckets,
+        pair_fill={"suppnat": -1, "revenue": 0.0},
+        val_type=pa.int64(),
+    )
+
+    def finish(df: pd.DataFrame):
+        names = _ray.get(names_ref)  # worker-cached deserialization
+        df = df[df["custnat"].astype("float64") == df["suppnat"]]
+        out = df.groupby("suppnat", sort=False)["revenue"].sum().reset_index()
+        return arrow_out(pd.DataFrame({
+            "n_name": out["suppnat"].map(names).astype(str),
+            "revenue": out["revenue"],
+        }))
+
+    from ._agg import grouped_agg
+
+    agg = grouped_agg(
+        attached.map_batches(finish, batch_format="pandas"),
+        ["n_name"],
+        {"revenue": ("revenue", "sum")},
+    )
+    return agg.map_batches(
+        lambda df: arrow_out(df.assign(revenue=df["revenue"].round(2))),
+        batch_format="pandas",
+    )

@@ -85,6 +85,7 @@ _TAIL_ORACLED_OK = {
     "line_dedup_docs",
     "redact_pii_docs",
     "user_retention_cohorts",
+    "local_supplier_volume",
 }
 
 
