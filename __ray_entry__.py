@@ -340,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii_docs": textstats.redact_pii_docs,
         "user_retention_cohorts": analytics.user_retention_cohorts,
         "local_supplier_volume": analytics.local_supplier_volume,
+        "conversion_funnel": analytics.conversion_funnel,
         # rows-only by nature
         "ivf_ann_topk": analytics.ivf_ann_topk,  # approximate: recall-bound-tested
         "kmeans_embeddings": analytics.kmeans_embeddings,  # iterative
@@ -1239,5 +1240,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
             GROUP BY n_name
+        """,
+        # two-step funnel: of users whose first click fell on click_day,
+        # how many first-purchased within 7 days of that click
+        "conversion_funnel": """
+            WITH c AS (SELECT user_id, min(ts) AS first_click FROM events
+                       WHERE event_type = 'click' GROUP BY 1),
+            p AS (SELECT user_id, min(ts) AS first_purchase FROM events
+                  WHERE event_type = 'purchase' GROUP BY 1)
+            SELECT date_trunc('day', first_click) AS click_day,
+                   count(*) AS n_clickers,
+                   sum(CASE WHEN first_purchase >= first_click
+                             AND first_purchase <= first_click + INTERVAL 7 DAY
+                        THEN 1 ELSE 0 END) AS n_converted
+            FROM c LEFT JOIN p USING (user_id)
+            GROUP BY 1
         """,
     }

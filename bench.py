@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "keep_latest_events",   # upsert compaction with in-batch combiner (r4)
     "lang_id_ngram",        # vectorized byte-pair kernel (r5; was the slowest text kernel)
     "media_features",       # multimodal actor-pool decode+featurize (r5)
+    "line_dedup_docs",      # C4-style line-level dedup, hash-only dedup exchange (r5)
+    "local_supplier_volume",  # TPC-H Q5-shape 6-table snowflake join (r5)
 ]
 HEADLINE = "ocr_correct"
 

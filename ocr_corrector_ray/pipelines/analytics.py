@@ -1853,3 +1853,75 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA", num_buckets: int | 
         lambda df: arrow_out(df.assign(revenue=df["revenue"].round(2))),
         batch_format="pandas",
     )
+
+
+def conversion_funnel(sf_dir: str, window_days: int = 7, num_buckets: int | None = None):
+    """Two-step funnel (click_day, n_clickers, n_converted): of the
+    users whose FIRST click fell on click_day, how many made their
+    first purchase within ``window_days`` after that click — the
+    classic product-analytics conversion funnel.
+
+    Plan: the read is pruned to the two funnel event types with a
+    parquet row filter; an in-batch combiner reduces each batch to one
+    (user, type) -> min(ts) partial; ONE user-bucketed exchange merges
+    partials (every user wholly in one bucket) and emits per-click-day
+    partial counts; the final merge is days-sized."""
+    import pyarrow.dataset as pads
+
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+
+    num_buckets = num_buckets or default_num_buckets()
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"),
+        columns=["user_id", "event_type", "ts"],
+        filter=pads.field("event_type").isin(["click", "purchase"]),
+    )
+    window = pd.Timedelta(days=window_days)
+
+    def partial_min(df: pd.DataFrame):
+        out = (
+            df.groupby(["user_id", "event_type"], sort=False)["ts"].min().reset_index()
+        )
+        return arrow_out(out.assign(
+            bucket=(out["user_id"] % num_buckets).astype("int32")))
+
+    def per_bucket(df: pd.DataFrame):
+        firsts = (
+            df.groupby(["user_id", "event_type"], sort=False)["ts"].min().unstack()
+        )
+        if "click" not in firsts:
+            return arrow_out(pd.DataFrame({
+                "click_day": pd.Series([], dtype="datetime64[us]"),
+                "n_clickers": pd.Series([], dtype="int64"),
+                "n_converted": pd.Series([], dtype="int64"),
+            }))
+        clicks = firsts["click"].dropna()
+        purchases = firsts["purchase"] if "purchase" in firsts else pd.Series(
+            pd.NaT, index=firsts.index)
+        purchases = purchases.reindex(clicks.index)
+        converted = (purchases >= clicks) & (purchases <= clicks + window)
+        out = pd.DataFrame({
+            "click_day": clicks.dt.floor("D"),
+            "converted": converted.astype("int64"),
+        })
+        agg = out.groupby("click_day").agg(
+            n_clickers=("converted", "size"), n_converted=("converted", "sum")
+        ).reset_index()
+        return arrow_out(pd.DataFrame({
+            "click_day": agg["click_day"],
+            "n_clickers": agg["n_clickers"].astype("int64"),
+            "n_converted": agg["n_converted"].astype("int64"),
+        }))
+
+    partials = (
+        ds.map_batches(partial_min, batch_format="pandas")
+        .groupby("bucket", num_partitions=physical_partitions(num_buckets))
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    from ._agg import grouped_agg
+
+    return grouped_agg(
+        partials,
+        ["click_day"],
+        {"n_clickers": ("n_clickers", "sum"), "n_converted": ("n_converted", "sum")},
+    )

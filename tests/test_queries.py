@@ -86,6 +86,7 @@ _TAIL_ORACLED_OK = {
     "redact_pii_docs",
     "user_retention_cohorts",
     "local_supplier_volume",
+    "conversion_funnel",
 }
 
 
