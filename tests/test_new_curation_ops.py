@@ -1,0 +1,131 @@
+"""Semantic tests for the operators added in the second r5 session
+(beyond the parametrized DuckDB-oracle equality in test_queries.py):
+line-level dedup, PII redaction, retention cohorts, the Q5-shape join
+and the conversion funnel."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    con = duckdb.connect()
+    for t in ["documents", "events", "customer", "supplier", "nation",
+              "region", "orders", "lineitem"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def test_line_dedup_drops_repeated_chunks(ray_session, con):
+    from ocr_corrector_ray.pipelines.textstats import line_dedup_docs
+
+    got = line_dedup_docs(SF_DIR).to_pandas()
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    # some docs lose chunks (the corpus repeats 8-token runs), none gain
+    assert (got["n_kept"] <= got["n_chunks"]).all()
+    assert got["n_kept"].sum() < got["n_chunks"].sum()
+    assert len(got) <= n_docs
+    # kept_text round-trips: its token count is 8 * full chunks + tail
+    ex = got.iloc[0]
+    assert ex["kept_text"].count(" ") + 1 <= ex["n_kept"] * 8
+
+
+def test_line_dedup_duplicate_doc_fully_loses(ray_session, tmp_path):
+    """Every chunk of a doc whose text also appears under a LOWER
+    doc_id must lose to that earlier copy: first-occurrence-wins is
+    global.  The synthetic corpus has no full duplicates, so build one:
+    doc 10 repeats doc 1's text, doc 11 embeds doc 2's text plus a
+    fresh tail chunk."""
+    from ocr_corrector_ray.pipelines.textstats import line_dedup_docs
+
+    w = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 10, 11],
+        "text": [
+            w + " one two three",
+            "iota kappa " + w,
+            w + " one two three",                  # exact dup of doc 1
+            "iota kappa " + w + " " + w,           # doc 2 + repeat chunk
+        ],
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = (
+        line_dedup_docs(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert 10 not in got.index          # every chunk lost -> doc dropped
+    assert list(got.index) == [1, 2, 11]
+    assert got.loc[1, "n_kept"] == got.loc[1, "n_chunks"] == 2
+    # doc 11 chunks: [iota kappa alpha..zeta] (== doc 2 chunk 0, loses),
+    # [eta theta alpha..zeta] (fresh window alignment, survives),
+    # [eta theta] (== doc 2 chunk 1, loses) -> exactly 1 of 3 kept
+    assert got.loc[11, "n_chunks"] == 3
+    assert got.loc[11, "n_kept"] == 1
+    assert got.loc[11, "kept_text"].startswith("eta theta alpha")
+
+
+def test_redact_pii_leaves_no_pii(ray_session):
+    import re
+
+    from ocr_corrector_ray.pipelines.textstats import (
+        _PII_EMAIL, _PII_IP, _PII_PHONE, redact_pii_docs)
+
+    got = redact_pii_docs(SF_DIR).to_pandas()
+    assert (got["n_emails"] >= 1).all()   # injection guarantees a hit
+    assert (got["n_phones"] >= 1).all()
+    joined = "\n".join(got["clean_text"])
+    for pat in (_PII_EMAIL, _PII_PHONE, _PII_IP):
+        assert re.search(pat, joined) is None
+    assert "<EMAIL>" in joined and "<PHONE>" in joined
+
+
+def test_retention_day_zero_equals_cohort_size(ray_session, con):
+    from ocr_corrector_ray.pipelines.analytics import user_retention_cohorts
+
+    got = user_retention_cohorts(SF_DIR).to_pandas()
+    # every user is active on their own first day: offset-0 row == cohort size
+    day0 = got[got["day_offset"] == 0].set_index("cohort_day")["n_users"]
+    sizes = con.execute("""
+        SELECT cohort_day, count(*) AS n FROM (
+          SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+          FROM events GROUP BY 1) GROUP BY 1
+    """).df().set_index("cohort_day")["n"]
+    assert day0.sort_index().tolist() == sizes.sort_index().tolist()
+    # retention can never exceed the cohort
+    m = got.merge(sizes.rename("size"), left_on="cohort_day", right_index=True)
+    assert (m["n_users"] <= m["size"]).all()
+
+
+def test_q5_join_respects_region_filter(ray_session, con):
+    from ocr_corrector_ray.pipelines.analytics import local_supplier_volume
+
+    got = local_supplier_volume(SF_DIR, region="EUROPE").to_pandas()
+    europe = set(con.execute("""
+        SELECT n_name FROM nation JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    """).df()["n_name"])
+    assert set(got["n_name"]) <= europe
+    assert (got["revenue"] > 0).all()
+
+
+def test_funnel_converted_bounded_by_clickers(ray_session, con):
+    from ocr_corrector_ray.pipelines.analytics import conversion_funnel
+
+    got = conversion_funnel(SF_DIR).to_pandas()
+    assert (got["n_converted"] <= got["n_clickers"]).all()
+    n_clickers = con.execute(
+        "SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'click'"
+    ).fetchone()[0]
+    assert got["n_clickers"].sum() == n_clickers
+    # widening the window can only convert more
+    wide = conversion_funnel(SF_DIR, window_days=10_000).to_pandas()
+    m = got.merge(wide, on="click_day", suffixes=("", "_wide"))
+    assert (m["n_converted_wide"] >= m["n_converted"]).all()
