@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention_cohorts": analytics.user_retention_cohorts,
         "local_supplier_volume": analytics.local_supplier_volume,
         "conversion_funnel": analytics.conversion_funnel,
+        "salted_skew_join": analytics.salted_skew_join,
         # rows-only by nature
         "ivf_ann_topk": analytics.ivf_ann_topk,  # approximate: recall-bound-tested
         "kmeans_embeddings": analytics.kmeans_embeddings,  # iterative
@@ -1255,5 +1256,15 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END) AS n_converted
             FROM c LEFT JOIN p USING (user_id)
             GROUP BY 1
+        """,
+        # hot-key-salted shuffle join: the dimension weight is derived
+        # from the shared hash64 idiom so SQL rebuilds it exactly
+        "salted_skew_join": """
+            WITH dim AS (SELECT DISTINCT event_type,
+                         CAST(md5_number_lower(event_type) % 100 AS DOUBLE) / 10.0 AS weight
+                         FROM events)
+            SELECT user_id, round(sum(value * weight), 4) AS score
+            FROM events JOIN dim USING (event_type)
+            GROUP BY user_id
         """,
     }

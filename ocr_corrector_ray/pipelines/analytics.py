@@ -1925,3 +1925,102 @@ def conversion_funnel(sf_dir: str, window_days: int = 7, num_buckets: int | None
         ["click_day"],
         {"n_clickers": ("n_clickers", "sum"), "n_converted": ("n_converted", "sum")},
     )
+
+
+def salted_skew_join(sf_dir: str, n_salts: int = 16, num_buckets: int | None = None):
+    """Hot-key-salted shuffle join (user_id, score): every event joins a
+    per-event-type dimension attribute (a derived weight) and the
+    weighted values are summed per user.
+
+    The events fact table has ~5 distinct event_type values — a
+    pathologically skewed join key where a plain hash-partitioned join
+    would put 1/5th of the corpus in one partition no matter how many
+    buckets exist.  This operator demonstrates the salting pattern the
+    flagship uses implicitly (explode = salt-to-span-granularity):
+
+    - fact side: each row's key becomes (event_type, salt) with
+      ``salt = event_id % n_salts``, spreading every hot key over
+      ``n_salts`` partitions;
+    - dimension side: REPLICATED once per salt (|dim| x n_salts rows —
+      the explicit price of salting, paid on the small side);
+    - per-bucket: vectorized weight lookup + per-user partial sums (the
+      combiner), then a user-keyed grouped_agg finishes.
+
+    With a 5-row dimension a broadcast would of course be cheaper; the
+    named operator exists to pin the pattern (and its oracle) for the
+    case where the dimension is too large to broadcast and the fact
+    keys are skewed.  The dimension weight is derived from the shared
+    hash64 idiom so DuckDB reproduces it exactly."""
+    from ..functions.hashing import hash64
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+
+    num_buckets = num_buckets or default_num_buckets()
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value"]
+    )
+
+    # the "dimension": event_type -> weight, derived (not broadcast) so
+    # the oracle can rebuild it with md5_number_lower
+    def dim_rows():
+        types = ["click", "error", "purchase", "signup", "view"]
+        return pd.DataFrame({
+            "event_type": types,
+            "weight": [float(hash64(t) % 100) / 10.0 for t in types],
+        })
+
+    def tag_fact(df: pd.DataFrame):
+        salt = (df["event_id"] % n_salts).astype("int64")
+        key = df["event_type"].map(lambda t: hash64(t) % (1 << 62)).astype("int64")
+        out = pd.DataFrame({
+            "user_id": df["user_id"],
+            "value": df["value"],
+            "weight": np.full(len(df), np.nan),
+            "side": "f",
+            "skey": key * n_salts + salt,
+        })
+        return arrow_out(out.assign(
+            bucket=(out["skey"] % num_buckets).astype("int32")))
+
+    def dim_replicated(df: pd.DataFrame):
+        dim = dim_rows()
+        rep = dim.loc[dim.index.repeat(n_salts)].reset_index(drop=True)
+        salt = np.tile(np.arange(n_salts, dtype=np.int64), len(dim))
+        key = rep["event_type"].map(lambda t: hash64(t) % (1 << 62)).astype("int64")
+        out = pd.DataFrame({
+            "user_id": np.full(len(rep), -1, dtype=np.int64),
+            "value": np.full(len(rep), np.nan),
+            "weight": rep["weight"],
+            "side": "d",
+            "skey": (key * n_salts + salt).to_numpy(),
+        })
+        return arrow_out(out.assign(
+            bucket=(out["skey"] % num_buckets).astype("int32")))
+
+    def join_bucket(df: pd.DataFrame):
+        d = df[df["side"] == "d"]
+        f = df[df["side"] == "f"]
+        lut = dict(zip(d["skey"].tolist(), d["weight"].tolist()))
+        w = f["skey"].map(lut)
+        part = (
+            pd.DataFrame({"user_id": f["user_id"], "score": f["value"] * w})
+            .groupby("user_id", sort=False)["score"].sum().reset_index()
+        )
+        return arrow_out(part)
+
+    # the dimension replication rides on a 1-row dataset so it runs as
+    # one task inside the same streaming plan (no driver-side union of
+    # materialized frames)
+    seed = ray.data.from_items([{"one": 1}])
+    joined = (
+        ds.map_batches(tag_fact, batch_format="pandas")
+        .union(seed.map_batches(dim_replicated, batch_format="pandas"))
+        .groupby("bucket", num_partitions=physical_partitions(num_buckets))
+        .map_groups(join_bucket, batch_format="pandas")
+    )
+    from ._agg import grouped_agg
+
+    agg = grouped_agg(joined, ["user_id"], {"score": ("score", "sum")})
+    return agg.map_batches(
+        lambda df: arrow_out(df.assign(score=df["score"].round(4))),
+        batch_format="pandas",
+    )

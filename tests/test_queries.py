@@ -87,6 +87,7 @@ _TAIL_ORACLED_OK = {
     "user_retention_cohorts",
     "local_supplier_volume",
     "conversion_funnel",
+    "salted_skew_join",
 }
 
 
