@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": analytics.local_supplier_volume,
         "conversion_funnel": analytics.conversion_funnel,
         "salted_skew_join": analytics.salted_skew_join,
+        "dedup_incremental": analytics.dedup_incremental,
         # rows-only by nature
         "ivf_ann_topk": analytics.ivf_ann_topk,  # approximate: recall-bound-tested
         "kmeans_embeddings": analytics.kmeans_embeddings,  # iterative
@@ -1267,5 +1268,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, round(sum(value * weight), 4) AS score
             FROM events JOIN dim USING (event_type)
             GROUP BY user_id
+        """,
+        # snapshot-incremental dedup: new batch (doc_id%10>=5) anti-joins
+        # the prior snapshot's digest set; in-batch dups keep lowest id
+        "dedup_incremental": """
+            WITH prior AS (SELECT DISTINCT md5(coalesce(text, '')) AS h
+                           FROM documents WHERE doc_id % 10 < 5),
+            new_batch AS (
+              SELECT doc_id, n_chars, md5(coalesce(text, '')) AS h,
+                     row_number() OVER (PARTITION BY md5(coalesce(text, ''))
+                                        ORDER BY doc_id) AS rn
+              FROM documents WHERE doc_id % 10 >= 5)
+            SELECT doc_id, n_chars FROM new_batch
+            WHERE rn = 1 AND h NOT IN (SELECT h FROM prior)
         """,
     }

@@ -2024,3 +2024,55 @@ def salted_skew_join(sf_dir: str, n_salts: int = 16, num_buckets: int | None = N
         lambda df: arrow_out(df.assign(score=df["score"].round(4))),
         batch_format="pandas",
     )
+
+
+def dedup_incremental(sf_dir: str, num_buckets: int | None = None):
+    """Snapshot-incremental exact dedup (doc_id, n_chars): keep the docs
+    of a NEW ingestion batch whose text digest does not already exist in
+    the PRIOR corpus snapshot — the anti-join every periodically-refreshed
+    100-TB corpus runs before appending a crawl increment.  The deterministic
+    split doc_id % 10 < 5 stands in for the snapshot boundary.
+
+    Plan: both sides reduce to (digest-bucket, digest) rows at the scan
+    — the prior side ships NOTHING but digests (16 bytes/doc, ~0.01% of
+    corpus bytes), the new side additionally carries its output payload
+    columns; one digest-bucketed exchange co-locates every possible
+    collision and each bucket anti-joins with a set probe.  Within the
+    new batch itself, duplicate digests keep the lowest doc_id (the
+    dedup_exact rule)."""
+    import hashlib
+
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+
+    num_buckets = num_buckets or default_num_buckets()
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "text", "n_chars"]
+    )
+
+    def tag(df: pd.DataFrame):
+        h = df["text"].fillna("").map(
+            lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
+        b = pd.util.hash_pandas_object(h, index=False)
+        is_new = (df["doc_id"] % 10 >= 5)
+        return arrow_out(pd.DataFrame({
+            "doc_id": df["doc_id"].where(is_new, -1).astype("int64"),
+            "n_chars": df["n_chars"].where(is_new, 0).astype("int64"),
+            "h": h,
+            "side": np.where(is_new, "n", "p"),
+            "bucket": (b % num_buckets).astype("int32"),
+        }))
+
+    def anti_join(df: pd.DataFrame):
+        prior = set(df.loc[df["side"] == "p", "h"])
+        new = df[df["side"] == "n"].sort_values("doc_id").drop_duplicates("h")
+        keep = new[~new["h"].isin(prior)]
+        return arrow_out(pd.DataFrame({
+            "doc_id": keep["doc_id"].to_numpy(),
+            "n_chars": keep["n_chars"].to_numpy(),
+        }))
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("bucket", num_partitions=physical_partitions(num_buckets))
+        .map_groups(anti_join, batch_format="pandas")
+    )

@@ -88,6 +88,7 @@ _TAIL_ORACLED_OK = {
     "local_supplier_volume",
     "conversion_funnel",
     "salted_skew_join",
+    "dedup_incremental",
 }
 
 
