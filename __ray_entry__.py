@@ -344,6 +344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_funnel": analytics.conversion_funnel,
         "salted_skew_join": analytics.salted_skew_join,
         "dedup_incremental": analytics.dedup_incremental,
+        "customer_order_counts": analytics.customer_order_counts,
+        "quality_zscore_by_lang": analytics.quality_zscore_by_lang,
         # rows-only by nature
         "ivf_ann_topk": analytics.ivf_ann_topk,  # approximate: recall-bound-tested
         "kmeans_embeddings": analytics.kmeans_embeddings,  # iterative
@@ -1281,5 +1283,23 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE doc_id % 10 >= 5)
             SELECT doc_id, n_chars FROM new_batch
             WHERE rn = 1 AND h NOT IN (SELECT h FROM prior)
+        """,
+        # LEFT OUTER join with zero-fill for never-ordered customers
+        "customer_order_counts": """
+            SELECT c_custkey, count(o_custkey) AS n_orders,
+                   round(coalesce(sum(o_totalprice), 0), 2) AS total_price
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        """,
+        # per-language z-score normalization; population variance via the
+        # same explicit (sumsq - sum^2/n)/n formula as the Ray side
+        "quality_zscore_by_lang": """
+            WITH m AS (SELECT lang, count(*) AS n,
+                              sum(CAST(n_chars AS DOUBLE)) AS s,
+                              sum(CAST(n_chars AS DOUBLE) * n_chars) AS s2
+                       FROM documents GROUP BY lang)
+            SELECT doc_id, d.lang,
+                   round((n_chars - s / n) / sqrt((s2 - s * s / n) / n), 6) AS zscore
+            FROM documents d JOIN m ON d.lang = m.lang
         """,
     }

@@ -2076,3 +2076,109 @@ def dedup_incremental(sf_dir: str, num_buckets: int | None = None):
         .groupby("bucket", num_partitions=physical_partitions(num_buckets))
         .map_groups(anti_join, batch_format="pandas")
     )
+
+
+def customer_order_counts(sf_dir: str, num_buckets: int | None = None):
+    """LEFT OUTER join (c_custkey, n_orders, total_price): every
+    customer with their order count and revenue, ZERO-filled for
+    customers who never ordered — the outer-join counterpart of the
+    anti/semi pair (``customers_without_orders`` proves the null side
+    is non-empty in this corpus).
+
+    Same custkey-bucketed union co-location as the other joins; the
+    orders side pre-aggregates per (bucket, custkey) inside the batch
+    (combiner), so the exchange carries one partial row per customer
+    per batch rather than raw orders."""
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+
+    num_buckets = num_buckets or default_num_buckets()
+    customers = ray.data.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey"])
+    orders = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def tag_cust(df: pd.DataFrame):
+        return arrow_out(pd.DataFrame({
+            "key": df["c_custkey"],
+            "n_orders": np.zeros(len(df), dtype=np.int64),
+            "total_price": np.zeros(len(df)),
+            "side": "c",
+            "bucket": (df["c_custkey"] % num_buckets).astype("int32"),
+        }))
+
+    def tag_orders(df: pd.DataFrame):
+        part = df.groupby("o_custkey", sort=False)["o_totalprice"].agg(
+            ["size", "sum"]).reset_index()
+        return arrow_out(pd.DataFrame({
+            "key": part["o_custkey"],
+            "n_orders": part["size"].astype("int64"),
+            "total_price": part["sum"],
+            "side": "o",
+            "bucket": (part["o_custkey"] % num_buckets).astype("int32"),
+        }))
+
+    def outer_join(df: pd.DataFrame):
+        cust = df.loc[df["side"] == "c", "key"]
+        o = df[df["side"] == "o"].groupby("key", sort=False).agg(
+            n_orders=("n_orders", "sum"), total_price=("total_price", "sum"))
+        out = o.reindex(cust)  # LEFT: every customer row, NaN where no orders
+        return arrow_out(pd.DataFrame({
+            "c_custkey": cust.to_numpy(),
+            "n_orders": out["n_orders"].fillna(0).astype("int64").to_numpy(),
+            "total_price": out["total_price"].fillna(0.0).round(2).to_numpy(),
+        }))
+
+    return (
+        customers.map_batches(tag_cust, batch_format="pandas")
+        .union(orders.map_batches(tag_orders, batch_format="pandas"))
+        .groupby("bucket", num_partitions=physical_partitions(num_buckets))
+        .map_groups(outer_join, batch_format="pandas")
+    )
+
+
+def quality_zscore_by_lang(sf_dir: str, num_buckets: int | None = None):
+    """Per-group standardization (doc_id, lang, zscore): each doc's
+    length is z-scored against ITS LANGUAGE's population mean/std — the
+    per-group feature-normalization pass a training pipeline runs
+    before mixing heterogeneous sources.
+
+    Two passes, the second is the big one: pass 1 reduces the corpus to
+    per-lang (n, sum, sumsq) moment partials (in-batch combiner, then a
+    langs-sized merge on the driver — bounded by language count, never
+    by corpus size); pass 2 broadcasts the tiny moments dict and maps
+    each batch vectorized.  Population variance is computed with the
+    same explicit (sumsq - sum^2/n)/n formula the SQL mirror uses."""
+    from ._util import arrow_out
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def moments(df: pd.DataFrame):
+        x = df["n_chars"].astype("float64")
+        g = pd.DataFrame({"lang": df["lang"], "x": x, "x2": x * x}).groupby(
+            "lang", sort=False).agg(n=("x", "size"), s=("x", "sum"), s2=("x2", "sum"))
+        return arrow_out(g.reset_index())
+
+    parts = ds.map_batches(moments, batch_format="pandas").to_pandas()
+    m = parts.groupby("lang").sum()
+    mean = m["s"] / m["n"]
+    var = (m["s2"] - m["s"] ** 2 / m["n"]) / m["n"]
+    stats = {
+        lang: (mean[lang], float(np.sqrt(var[lang]))) for lang in m.index
+    }
+    import ray as _ray
+
+    stats_ref = _ray.put(stats)
+
+    def zscore(df: pd.DataFrame):
+        st = _ray.get(stats_ref)
+        mu = df["lang"].map(lambda l: st[l][0])
+        sd = df["lang"].map(lambda l: st[l][1])
+        return arrow_out(pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "lang": df["lang"],
+            "zscore": ((df["n_chars"] - mu) / sd).round(6),
+        }))
+
+    return ds.map_batches(zscore, batch_format="pandas")

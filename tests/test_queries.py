@@ -89,6 +89,8 @@ _TAIL_ORACLED_OK = {
     "conversion_funnel",
     "salted_skew_join",
     "dedup_incremental",
+    "customer_order_counts",
+    "quality_zscore_by_lang",
 }
 
 
