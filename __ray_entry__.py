@@ -346,6 +346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": analytics.dedup_incremental,
         "customer_order_counts": analytics.customer_order_counts,
         "quality_zscore_by_lang": analytics.quality_zscore_by_lang,
+        "weekly_active_users": analytics.weekly_active_users,
+        "bigram_pmi_topk": textstats.bigram_pmi_topk,
         # rows-only by nature
         "ivf_ann_topk": analytics.ivf_ann_topk,  # approximate: recall-bound-tested
         "kmeans_embeddings": analytics.kmeans_embeddings,  # iterative
@@ -1290,6 +1292,41 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(sum(o_totalprice), 0), 2) AS total_price
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
             GROUP BY c_custkey
+        """,
+        # rolling 7-day distinct-user count anchored to observed days
+        "weekly_active_users": """
+            WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                        FROM events),
+            days AS (SELECT DISTINCT day FROM ud)
+            SELECT d.day, count(DISTINCT u.user_id) AS wau
+            FROM days d JOIN ud u
+              ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+            GROUP BY d.day
+        """,
+        # top-k adjacent-token collocations by PMI; the association
+        # ratio is computed in the same (c*N)/(cl*cr) order as the Ray
+        # kernel so the floor-scaled double hashes identically
+        "bigram_pmi_topk": r"""
+            WITH tk AS (
+                SELECT regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            uni AS (SELECT unnest(t) AS tok FROM tk),
+            uc AS (SELECT tok, count(*) AS ct FROM uni GROUP BY tok),
+            nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM uni),
+            bg AS (
+                SELECT t[i] AS l, t[i+1] AS r
+                FROM tk, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)),
+            bc AS (SELECT l, r, count(*) AS c FROM bg
+                   GROUP BY l, r HAVING count(*) >= 5),
+            scored AS (
+                SELECT bc.l || ' ' || bc.r AS ngram, bc.c AS n,
+                       floor(log2(CAST(bc.c AS DOUBLE) * (SELECT n_total FROM nt)
+                                  / (CAST(ul.ct AS DOUBLE) * ur.ct))
+                             * 10000) / 10000 AS pmi
+                FROM bc JOIN uc ul ON ul.tok = bc.l
+                        JOIN uc ur ON ur.tok = bc.r)
+            SELECT ngram, n, pmi FROM scored
+            ORDER BY pmi DESC, ngram LIMIT 20
         """,
         # per-language z-score normalization; population variance via the
         # same explicit (sumsq - sum^2/n)/n formula as the Ray side

@@ -2182,3 +2182,69 @@ def quality_zscore_by_lang(sf_dir: str, num_buckets: int | None = None):
         }))
 
     return ds.map_batches(zscore, batch_format="pandas")
+
+
+def weekly_active_users(sf_dir: str, window_days: int = 7, num_buckets: int | None = None):
+    """Rolling-window distinct count (day, wau): for every day observed
+    in the events table, the number of distinct users active in the
+    trailing ``window_days``-day window ending that day — the
+    product-analytics WAU series.
+
+    Scale shape: the raw event stream is never fanned out.  An in-batch
+    ``drop_duplicates`` combiner reduces events to (user, day) pairs
+    first, one grouped dedup exchange bounds the intermediate at
+    |users|x|days| (materialized: it anchors the day set AND feeds the
+    window fan-out), and the x``window_days`` fan-out happens on THAT
+    compact table with the observed-day filter applied in-batch.  The
+    final per-day distinct count rides the dedup partitions — each
+    (day, user) group lives wholly in one hash partition, so the last
+    exchange carries one partial-count row per (day, batch), never the
+    pair stream."""
+    from ._agg import grouped_agg
+    from ._util import arrow_out
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def pairs(df: pd.DataFrame):
+        return arrow_out(
+            pd.DataFrame({"user_id": df["user_id"], "day": df["ts"].dt.floor("D")})
+            .drop_duplicates()
+        )
+
+    ud = grouped_agg(
+        ds.map_batches(pairs, batch_format="pandas"),
+        ["user_id", "day"], {"c": ("day", "size")},
+        num_partitions=num_buckets,
+    ).drop_columns(["c"]).materialize()
+
+    # observed-day anchor set: bounded at one row per distinct day, so
+    # the driver-side take_all is output-sized (days, not events)
+    days = grouped_agg(ud, ["day"], {"c": ("day", "size")}).drop_columns(["c"])
+    day_index = pd.DatetimeIndex([r["day"] for r in days.take_all()])
+
+    def fan(df: pd.DataFrame):
+        n = len(df)
+        day = df["day"].to_numpy().repeat(window_days)
+        k = np.tile(np.arange(window_days, dtype="int64"), n)
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy().repeat(window_days),
+            "day": day + k * np.timedelta64(1, "D"),
+        })
+        out = out[out["day"].isin(day_index)]
+        return arrow_out(out.drop_duplicates())
+
+    dedup = grouped_agg(
+        ud.map_batches(fan, batch_format="pandas"),
+        ["day", "user_id"], {"c": ("user_id", "size")},
+        num_partitions=num_buckets,
+    )
+
+    def partial(df: pd.DataFrame):
+        return arrow_out(
+            df.groupby("day", as_index=False, sort=False).agg(wau=("user_id", "size"))
+        )
+
+    return grouped_agg(
+        dedup.map_batches(partial, batch_format="pandas"),
+        ["day"], {"wau": ("wau", "sum")},
+    )

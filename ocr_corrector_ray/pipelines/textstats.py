@@ -1029,3 +1029,183 @@ def redact_pii_docs(sf_dir: str):
         }))
 
     return ds.map_batches(scrub, batch_format="pandas")
+
+
+def bigram_pmi_topk(sf_dir: str, k: int = 20, min_count: int = 5,
+                    num_buckets: int | None = None):
+    """Collocation mining (ngram, n, pmi): top-k adjacent-token bigrams
+    by pointwise mutual information (Church & Hanks 1990), restricted to
+    bigrams seen >= ``min_count`` times.  pmi = log2(c_bg * N /
+    (c_left * c_right)) with N the corpus unigram total, floor-scaled to
+    1e4 so the DuckDB mirror hashes identically; ties break on ngram.
+
+    Scale shape: ONE tokenize scan emits tagged in-batch partial counts
+    (unigram + bigram rows share the stream; the materialized
+    intermediate is vocabulary-, not corpus-, sized per batch).  Bigram
+    totals apply the min_count filter inside the agg finish — each
+    bigram lives wholly in its hash partition, so the filter is exact
+    and the survivor table is collocation-sized.  The two endpoint-count
+    attaches are hash64(token) co-buckets against the unigram table
+    (vocabulary-sized: never broadcast or driver-materialized —
+    same pattern as unigram_xent_docs).  Final top-k is per-bucket
+    head(k) -> global sort over <= P*k rows (exact: any global winner
+    is a winner of its right-endpoint bucket)."""
+    import pyarrow as pa
+
+    from ._agg import grouped_agg
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+
+    num_buckets = num_buckets or default_num_buckets()
+    phys = physical_partitions(num_buckets)
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        uc: Counter = Counter()
+        bc: Counter = Counter()
+        for toks in df["text"].fillna("").str.strip().str.split():
+            uc.update(toks)
+            bc.update(zip(toks, toks[1:]))
+        ub = pd.DataFrame({
+            "l": list(uc.keys()), "r": "",
+            "c": pd.Series(list(uc.values()), dtype="int64"), "kind": "u",
+        })
+        ls, rs = (list(x) for x in zip(*bc.keys())) if bc else ([], [])
+        bb = pd.DataFrame({
+            "l": ls, "r": rs,
+            "c": pd.Series(list(bc.values()), dtype="int64"), "kind": "b",
+        })
+        return arrow_out(pd.concat([ub, bb], ignore_index=True))
+
+    parts = ds.map_batches(partial_counts, batch_format="pandas").materialize()
+
+    # corpus unigram total: one tiny partial row per batch
+    n_total = sum(
+        int(b["partial"].sum()) for b in parts.map_batches(
+            lambda d: pd.DataFrame(
+                {"partial": [int(d.loc[d["kind"] == "u", "c"].sum())]}),
+            batch_format="pandas",
+        ).iter_batches(batch_format="pandas")
+    )
+
+    uni = grouped_agg(
+        parts.map_batches(lambda d: d.loc[d["kind"] == "u", ["l", "c"]],
+                          batch_format="pandas"),
+        ["l"], {"ct": ("c", "sum")}, num_partitions=num_buckets,
+    ).materialize()
+    bg = grouped_agg(
+        parts.map_batches(lambda d: d.loc[d["kind"] == "b", ["l", "r", "c"]],
+                          batch_format="pandas"),
+        ["l", "r"], {"n": ("c", "sum")}, num_partitions=num_buckets,
+        finish_fn=lambda g: g[g["n"] >= min_count],
+    )
+
+    def _bkt(tokens) -> np.ndarray:
+        return (hash64_array(list(tokens)) % np.uint64(num_buckets)).astype("int32")
+
+    TAGGED = pa.schema([
+        ("l", pa.string()), ("r", pa.string()), ("n", pa.int64()),
+        ("ct", pa.int64()), ("__side", pa.string()), ("__bkt", pa.int32()),
+    ])
+
+    def tag_uni_left(d: pd.DataFrame) -> pa.Table:
+        n = len(d)
+        return pa.Table.from_arrays([
+            pa.array(d["l"], pa.string()),
+            pa.array([""] * n, pa.string()),
+            pa.array(np.full(n, -1, dtype="int64")),
+            pa.array(d["ct"].to_numpy(dtype="int64")),
+            pa.array(["t"] * n, pa.string()),
+            pa.array(_bkt(d["l"])),
+        ], schema=TAGGED)
+
+    def tag_bg_left(d: pd.DataFrame) -> pa.Table:
+        n = len(d)
+        return pa.Table.from_arrays([
+            pa.array(d["l"], pa.string()),
+            pa.array(d["r"], pa.string()),
+            pa.array(d["n"].to_numpy(dtype="int64")),
+            pa.array(np.full(n, -1, dtype="int64")),
+            pa.array(["r"] * n, pa.string()),
+            pa.array(_bkt(d["l"])),
+        ], schema=TAGGED)
+
+    def attach_left(g: pd.DataFrame) -> pa.Table:
+        t = g[g["__side"] == "t"]
+        r = g[g["__side"] == "r"]
+        lut = dict(zip(t["l"].tolist(), t["ct"].tolist()))
+        return pa.table({
+            "l": pa.array(r["l"], pa.string()),
+            "r": pa.array(r["r"], pa.string()),
+            "n": pa.array(r["n"].to_numpy(dtype="int64")),
+            "cl": pa.array(r["l"].map(lut).to_numpy(dtype="int64")),
+        })
+
+    with_left = (
+        bg.map_batches(tag_bg_left, batch_format="pandas")
+        .union(uni.map_batches(tag_uni_left, batch_format="pandas"))
+        .groupby("__bkt", num_partitions=phys)
+        .map_groups(attach_left, batch_format="pandas")
+    )
+
+    TAGGED2 = pa.schema([
+        ("l", pa.string()), ("r", pa.string()), ("n", pa.int64()),
+        ("cl", pa.int64()), ("ct", pa.int64()), ("__side", pa.string()),
+        ("__bkt", pa.int32()),
+    ])
+
+    def tag_bg_right(d: pd.DataFrame) -> pa.Table:
+        n = len(d)
+        return pa.Table.from_arrays([
+            pa.array(d["l"], pa.string()),
+            pa.array(d["r"], pa.string()),
+            pa.array(d["n"].to_numpy(dtype="int64")),
+            pa.array(d["cl"].to_numpy(dtype="int64")),
+            pa.array(np.full(n, -1, dtype="int64")),
+            pa.array(["r"] * n, pa.string()),
+            pa.array(_bkt(d["r"])),
+        ], schema=TAGGED2)
+
+    def tag_uni_right(d: pd.DataFrame) -> pa.Table:
+        n = len(d)
+        return pa.Table.from_arrays([
+            pa.array([""] * n, pa.string()),
+            pa.array(d["l"], pa.string()),
+            pa.array(np.full(n, -1, dtype="int64")),
+            pa.array(np.full(n, -1, dtype="int64")),
+            pa.array(d["ct"].to_numpy(dtype="int64")),
+            pa.array(["t"] * n, pa.string()),
+            pa.array(_bkt(d["l"])),
+        ], schema=TAGGED2)
+
+    nf = float(n_total)
+
+    def attach_right_and_score(g: pd.DataFrame) -> pa.Table:
+        t = g[g["__side"] == "t"]
+        r = g[g["__side"] == "r"]
+        lut = dict(zip(t["r"].tolist(), t["ct"].tolist()))
+        cr = r["r"].map(lut).to_numpy(dtype="float64")
+        cl = r["cl"].to_numpy(dtype="float64")
+        n = r["n"].to_numpy(dtype="float64")
+        # same association order as the SQL mirror: (c*N) / (cl*cr)
+        pmi = np.floor(np.log2((n * nf) / (cl * cr)) * 10000) / 10000
+        out = pd.DataFrame({
+            "ngram": r["l"].to_numpy(dtype=object) + " " + r["r"].to_numpy(dtype=object),
+            "n": r["n"].to_numpy(dtype="int64"),
+            "pmi": pmi,
+        }).sort_values(["pmi", "ngram"], ascending=[False, True]).head(k)
+        return pa.table({
+            "ngram": pa.array(out["ngram"], pa.string()),
+            "n": pa.array(out["n"].to_numpy(dtype="int64")),
+            "pmi": pa.array(out["pmi"].to_numpy(dtype="float64")),
+        })
+
+    return (
+        with_left.map_batches(tag_bg_right, batch_format="pandas")
+        .union(uni.map_batches(tag_uni_right, batch_format="pandas"))
+        .groupby("__bkt", num_partitions=phys)
+        .map_groups(attach_right_and_score, batch_format="pandas")
+        .sort(["pmi", "ngram"], descending=[True, False])
+        .limit(k)
+    )

@@ -129,3 +129,49 @@ def test_funnel_converted_bounded_by_clickers(ray_session, con):
     wide = conversion_funnel(SF_DIR, window_days=10_000).to_pandas()
     m = got.merge(wide, on="click_day", suffixes=("", "_wide"))
     assert (m["n_converted_wide"] >= m["n_converted"]).all()
+
+
+def test_weekly_active_users_bounds(ray_session, con):
+    """WAU dominates DAU on every day, never exceeds the global distinct
+    user count, and the day set equals the observed event days."""
+    from ocr_corrector_ray.pipelines.analytics import weekly_active_users
+
+    got = weekly_active_users(SF_DIR).to_pandas().set_index("day")["wau"]
+    dau = con.execute(
+        "SELECT date_trunc('day', ts) AS day, count(DISTINCT user_id) AS dau "
+        "FROM events GROUP BY 1"
+    ).df().set_index("day")["dau"]
+    n_users = con.execute("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert sorted(got.index) == sorted(dau.index)
+    aligned = pd.concat([got, dau], axis=1)
+    assert (aligned["wau"] >= aligned["dau"]).all()
+    assert (got <= n_users).all()
+    # a trailing window is monotone in window length: 7-day >= 1-day
+    one = weekly_active_users(SF_DIR, window_days=1).to_pandas().set_index("day")["wau"]
+    assert (got.sort_index().to_numpy() >= one.sort_index().to_numpy()).all()
+
+
+def test_bigram_pmi_topk_semantics(ray_session, con):
+    """Top-k collocations: every survivor clears min_count, the list is
+    pmi-descending, and each pmi matches a direct recomputation from
+    exact corpus counts."""
+    import numpy as np
+
+    from ocr_corrector_ray.pipelines.textstats import bigram_pmi_topk
+
+    got = bigram_pmi_topk(SF_DIR, k=10, min_count=5).to_pandas()
+    assert len(got) <= 10
+    assert (got["n"] >= 5).all()
+    assert (got["pmi"].to_numpy()[:-1] >= got["pmi"].to_numpy()[1:]).all()
+
+    uc = dict(con.execute(
+        r"SELECT tok, count(*) FROM (SELECT unnest(regexp_split_to_array("
+        r"trim(text), '\s+')) AS tok FROM documents "
+        r"WHERE trim(coalesce(text,'')) <> '') GROUP BY tok").fetchall())
+    n_total = float(sum(uc.values()))
+    for _, row in got.iterrows():
+        l, r = row["ngram"].split(" ", 1)
+        expect = np.floor(
+            np.log2((float(row["n"]) * n_total) / (float(uc[l]) * float(uc[r])))
+            * 10000) / 10000
+        assert row["pmi"] == expect

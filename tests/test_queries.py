@@ -91,6 +91,8 @@ _TAIL_ORACLED_OK = {
     "dedup_incremental",
     "customer_order_counts",
     "quality_zscore_by_lang",
+    "weekly_active_users",
+    "bigram_pmi_topk",
 }
 
 
