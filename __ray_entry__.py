@@ -138,6 +138,12 @@ def _heavy_hitter_tokens(sf_dir: str):
     return heavy_hitter_tokens(sf_dir)
 
 
+def _approx_quantiles_value(sf_dir: str):
+    from ocr_corrector_ray.pipelines.sketches import approx_quantiles_value
+
+    return approx_quantiles_value(sf_dir)
+
+
 def _media_features(sf_dir: str):
     import ray.data
 
@@ -348,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_zscore_by_lang": analytics.quality_zscore_by_lang,
         "weekly_active_users": analytics.weekly_active_users,
         "bigram_pmi_topk": textstats.bigram_pmi_topk,
+        "event_path_topk": analytics.event_path_topk,
         # rows-only by nature
         "ivf_ann_topk": analytics.ivf_ann_topk,  # approximate: recall-bound-tested
         "kmeans_embeddings": analytics.kmeans_embeddings,  # iterative
@@ -355,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": dedup.embedding_neardup,  # LSH recall < 1
         "approx_distinct_tokens": _approx_distinct_tokens,
         "heavy_hitter_tokens": _heavy_hitter_tokens,
+        "approx_quantiles_value": _approx_quantiles_value,
         # training-data tooling + multimodal plumbing (rows-only)
         "correction_pairs": _correction_pairs,
         "confusion_counts": _confusion_counts,
@@ -394,8 +402,9 @@ def oracle_sql() -> dict[str, str]:
       neardup pairs as a subset of the exact pairs).
     - ``ivf_ann_topk`` (approximate, recall-bound-tested),
       ``kmeans_embeddings`` (iterative), ``approx_distinct_tokens`` /
-      ``heavy_hitter_tokens`` (sketches — estimates are
-      tolerance-tested, winners pinned vs exact in tests/),
+      ``heavy_hitter_tokens`` / ``approx_quantiles_value`` (sketches —
+      estimates are tolerance/rank-error-tested, winners pinned vs
+      exact in tests/),
       ``media_features`` / ``media_resize`` / ``media_frame_sample`` /
       ``media_audio_features`` (binary payload decode / resize /
       seek-sample / PCM-spectral stages).
@@ -1292,6 +1301,20 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(sum(o_totalprice), 0), 2) AS total_price
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
             GROUP BY c_custkey
+        """,
+        # top-k consecutive event-type sequences per user order
+        "event_path_topk": """
+            WITH o AS (
+                SELECT event_type,
+                       lead(event_type, 1) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS e2,
+                       lead(event_type, 2) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS e3
+                FROM events)
+            SELECT event_type || '>' || e2 || '>' || e3 AS path,
+                   count(*) AS n
+            FROM o WHERE e3 IS NOT NULL
+            GROUP BY 1 ORDER BY n DESC, path LIMIT 10
         """,
         # rolling 7-day distinct-user count anchored to observed days
         "weekly_active_users": """

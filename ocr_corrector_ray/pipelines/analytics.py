@@ -2248,3 +2248,60 @@ def weekly_active_users(sf_dir: str, window_days: int = 7, num_buckets: int | No
         dedup.map_batches(partial, batch_format="pandas"),
         ["day"], {"wau": ("wau", "sum")},
     )
+
+
+def event_path_topk(sf_dir: str, n: int = 3, k: int = 10, num_buckets: int | None = None):
+    """Sequence mining (path, n): the top-k most frequent consecutive
+    ``n``-event-type sequences, ordered per user by (ts, event_id) —
+    the session-path / clickstream-motif query.
+
+    One user-bucketed exchange does the per-user ordering (the
+    unavoidable shuffle: order lives per user) and each bucket forms
+    its n-grams with numpy shift-compares — no per-user Python.  Path
+    counts leave the bucket pre-aggregated (one row per distinct path
+    per bucket), and the final top-k is the exact per-partition
+    head(k) -> P*k global sort (ngram_topk pattern)."""
+    from ._agg import grouped_agg
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+
+    num_buckets = num_buckets or default_num_buckets()
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def add_bucket(df: pd.DataFrame):
+        return arrow_out(
+            df.assign(bucket=(df["user_id"] % num_buckets).astype("int32"))
+        )
+
+    def per_bucket(df: pd.DataFrame):
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        et = df["event_type"].to_numpy(dtype=object)
+        uid = df["user_id"].to_numpy()
+        m = len(df) - n + 1
+        if m <= 0:
+            return arrow_out(pd.DataFrame({
+                "path": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+            }))
+        # windows that stay inside one user: all n rows share user_id
+        same = np.ones(m, dtype=bool)
+        path = et[:m]
+        for j in range(1, n):
+            same &= uid[:m] == uid[j:m + j]
+            path = path + ">" + et[j:m + j]
+        vc = pd.Series(path[same]).value_counts()
+        return arrow_out(pd.DataFrame({
+            "path": vc.index.to_numpy(dtype=object),
+            "n": vc.to_numpy(dtype="int64"),
+        }))
+
+    totals = grouped_agg(
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket", num_partitions=physical_partitions(num_buckets))
+        .map_groups(per_bucket, batch_format="pandas"),
+        ["path"], {"n": ("n", "sum")},
+        finish_fn=lambda g: g.sort_values(["n", "path"],
+                                          ascending=[False, True]).head(k),
+    )
+    return totals.sort(["n", "path"], descending=[True, False]).limit(k)

@@ -182,3 +182,93 @@ def approx_distinct_tokens(sf_dir: str, p: int = 12):
         merged = merged.merge(HyperLogLog.deserialize(row["sketch"], p))
     est = int(round(merged.estimate()))
     return ray.data.from_items([{"n_distinct_tokens_approx": est}])
+
+
+class TDigest:
+    """Merging t-digest (Dunning & Ertl 2019) with the k1 scale function,
+    binned variant: each sorted point is assigned to the integer cell of
+    k(q) = (delta / 2pi) * asin(2q - 1) at its mid-rank and cells are
+    reduced with a weighted mean — fully vectorized (one argsort + one
+    groupby per build/merge), deterministic, and mergeable (merge =
+    concat centroids, re-sort, re-bin).  Accuracy concentrates at the
+    tails exactly like the classic greedy variant; the pytest bounds
+    the rank error empirically."""
+
+    def __init__(self, delta: int = 200,
+                 means: np.ndarray | None = None,
+                 weights: np.ndarray | None = None):
+        self.delta = delta
+        self.means = means if means is not None else np.empty(0, dtype="float64")
+        self.weights = weights if weights is not None else np.empty(0, dtype="float64")
+
+    @staticmethod
+    def _compress(vals: np.ndarray, wts: np.ndarray, delta: int) -> "TDigest":
+        order = np.argsort(vals, kind="stable")
+        v, w = vals[order], wts[order]
+        total = w.sum()
+        q_mid = (np.cumsum(w) - w / 2) / total
+        k = np.floor(delta / (2 * np.pi) * np.arcsin(2 * q_mid - 1) / 1.0)
+        # reduce each k-cell to its weighted mean; cells are contiguous
+        # in the sorted order so this is one vectorized pass
+        cell, idx = np.unique(k, return_inverse=True)
+        cw = np.bincount(idx, weights=w)
+        cm = np.bincount(idx, weights=v * w) / cw
+        return TDigest(delta, cm, cw)
+
+    @classmethod
+    def from_values(cls, vals: np.ndarray, delta: int = 200) -> "TDigest":
+        vals = np.asarray(vals, dtype="float64")
+        return cls._compress(vals, np.ones(len(vals)), delta) if len(vals) else cls(delta)
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        if not len(other.means):
+            return self
+        if not len(self.means):
+            return other
+        return self._compress(
+            np.concatenate([self.means, other.means]),
+            np.concatenate([self.weights, other.weights]),
+            self.delta,
+        )
+
+    def quantile(self, q: float) -> float:
+        if not len(self.means):
+            return float("nan")
+        if len(self.means) == 1:
+            return float(self.means[0])
+        cum = np.cumsum(self.weights) - self.weights / 2
+        target = q * self.weights.sum()
+        return float(np.interp(target, cum, self.means))
+
+    def serialize(self) -> bytes:
+        return np.concatenate([self.means, self.weights]).tobytes()
+
+    @classmethod
+    def deserialize(cls, raw: bytes, delta: int) -> "TDigest":
+        arr = np.frombuffer(raw, dtype="float64")
+        h = len(arr) // 2
+        return cls(delta, arr[:h].copy(), arr[h:].copy())
+
+
+def approx_quantiles_value(sf_dir: str, qs=(0.5, 0.9, 0.99), delta: int = 200):
+    """Approximate quantiles of events.value via a mergeable t-digest:
+    one digest per batch -> centroid merge -> interpolation.  Returns
+    one row per requested quantile (q: float64, value_est: float64).
+    Rows-only (sketch): the pytest bounds the RANK error of each
+    estimate against the exact CDF.  Same scale shape as the HLL —
+    the exchange carries one serialized sketch per batch, never
+    values."""
+    import os
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+
+    def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
+        td = TDigest.from_values(df["value"].to_numpy(dtype="float64"), delta)
+        return pd.DataFrame({"sketch": [td.serialize()]})
+
+    merged = TDigest(delta)
+    for row in ds.map_batches(sketch_batch, batch_format="pandas").take_all():
+        merged = merged.merge(TDigest.deserialize(row["sketch"], delta))
+    return ray.data.from_items(
+        [{"q": float(q), "value_est": merged.quantile(float(q))} for q in qs]
+    )

@@ -175,3 +175,59 @@ def test_bigram_pmi_topk_semantics(ray_session, con):
             np.log2((float(row["n"]) * n_total) / (float(uc[l]) * float(uc[r])))
             * 10000) / 10000
         assert row["pmi"] == expect
+
+
+def test_event_path_topk_counts_match_pandas(ray_session, con):
+    """Every reported path count equals a direct pandas recomputation
+    over per-user ordered events."""
+    from ocr_corrector_ray.pipelines.analytics import event_path_topk
+
+    got = event_path_topk(SF_DIR, n=2, k=5).to_pandas()
+    ev = con.execute(
+        "SELECT user_id, ts, event_id, event_type FROM events "
+        "ORDER BY user_id, ts, event_id").df()
+    from collections import Counter
+
+    c = Counter()
+    for _, g in ev.groupby("user_id", sort=False):
+        et = g["event_type"].tolist()
+        c.update(f"{a}>{b}" for a, b in zip(et, et[1:]))
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(map(tuple, got[["path", "n"]].itertuples(index=False))) == top
+
+
+def test_approx_quantiles_rank_error_bounded(ray_session, con):
+    """Each t-digest estimate's exact CDF position is within 1% rank
+    error of its target quantile; median within 0.5%."""
+    from ocr_corrector_ray.pipelines.sketches import approx_quantiles_value
+
+    got = approx_quantiles_value(SF_DIR, qs=(0.5, 0.9, 0.99)).to_pandas()
+    vals = con.execute("SELECT value FROM events").df()["value"].to_numpy()
+    vals.sort()
+    for _, row in got.iterrows():
+        cdf = vals.searchsorted(row["value_est"]) / len(vals)
+        tol = 0.005 if row["q"] == 0.5 else 0.01
+        assert abs(cdf - row["q"]) <= tol, (row["q"], cdf)
+
+
+def test_tdigest_merge_associative_and_exactish_small():
+    """Digest of a tiny set reproduces exact quantiles; merging in any
+    grouping gives the same centroids as one-shot construction."""
+    import numpy as np
+
+    from ocr_corrector_ray.pipelines.sketches import TDigest
+
+    rng = np.random.RandomState(7)
+    x = rng.gamma(2.0, 10.0, size=5000)
+    one = TDigest.from_values(x)
+    parts = [TDigest.from_values(c) for c in np.array_split(x, 7)]
+    m = parts[0]
+    for p in parts[1:]:
+        m = m.merge(p)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        exact = np.quantile(x, q)
+        assert abs(one.quantile(q) - exact) / (abs(exact) + 1e-9) < 0.05
+        assert abs(m.quantile(q) - exact) / (abs(exact) + 1e-9) < 0.05
+    # exact on a set smaller than the centroid budget
+    small = TDigest.from_values(np.arange(10, dtype="float64"))
+    assert small.quantile(0.0) == 0.0 and small.quantile(1.0) == 9.0

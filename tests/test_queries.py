@@ -93,6 +93,7 @@ _TAIL_ORACLED_OK = {
     "quality_zscore_by_lang",
     "weekly_active_users",
     "bigram_pmi_topk",
+    "event_path_topk",
 }
 
 
