@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only by nature
         "ivf_ann_topk": analytics.ivf_ann_topk,  # approximate: recall-bound-tested
         "kmeans_embeddings": analytics.kmeans_embeddings,  # iterative
+        "pca_embeddings": analytics.pca_embeddings,  # eigensolve: numpy-pinned
         "minhash_signatures": dedup.minhash_signatures,  # list-shaped
         "embedding_neardup": dedup.embedding_neardup,  # LSH recall < 1
         "approx_distinct_tokens": _approx_distinct_tokens,
@@ -401,7 +402,8 @@ def oracle_sql() -> dict[str, str]:
       IS oracled as ``embedding_cosine_pairs`` (and a recall test pins
       neardup pairs as a subset of the exact pairs).
     - ``ivf_ann_topk`` (approximate, recall-bound-tested),
-      ``kmeans_embeddings`` (iterative), ``approx_distinct_tokens`` /
+      ``kmeans_embeddings`` (iterative), ``pca_embeddings``
+      (eigensolve — numpy-pinned in tests), ``approx_distinct_tokens`` /
       ``heavy_hitter_tokens`` / ``approx_quantiles_value`` (sketches —
       estimates are tolerance/rank-error-tested, winners pinned vs
       exact in tests/),

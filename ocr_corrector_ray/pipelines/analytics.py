@@ -2305,3 +2305,57 @@ def event_path_topk(sf_dir: str, n: int = 3, k: int = 10, num_buckets: int | Non
                                           ascending=[False, True]).head(k),
     )
     return totals.sort(["n", "path"], descending=[True, False]).limit(k)
+
+
+def pca_embeddings(sf_dir: str, k: int = 4):
+    """Principal-component scores (vec_id, pc0..pc{k-1}) of every
+    embedding — the dimensionality-reduction / whitening pass a
+    curation pipeline runs before clustering or visualizing a corpus.
+
+    Scale shape (the moment-partial pattern, like kmeans): pass 1
+    reduces the corpus to (n, sum_x, sum_xxT) partials — each batch
+    emits ONE row of d + d*d floats regardless of batch size, so the
+    driver merge is block-count-, never corpus-, sized; the d x d
+    covariance eigensolve runs on the driver (d is model-sized); pass 2
+    broadcasts the d x k component matrix and projects each batch with
+    one matmul.  Component signs are fixed by making each component's
+    largest-|loading| entry positive (the standard determinism
+    convention), so results are reproducible across runs and partition
+    layouts."""
+    path = _p(sf_dir, "embeddings")
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def moment_partial(batch: dict) -> dict:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+        return {
+            "n": np.array([len(V)], dtype=np.int64),
+            "s": [V.sum(axis=0).tobytes()],
+            "s2": [(V.T @ V).tobytes()],
+        }
+
+    parts = ds.map_batches(moment_partial, batch_format="numpy").take_all()
+    n = sum(int(p["n"]) for p in parts)
+    d = len(np.frombuffer(parts[0]["s"], dtype=np.float64))
+    s = np.zeros(d)
+    s2 = np.zeros((d, d))
+    for p in parts:
+        s += np.frombuffer(p["s"], dtype=np.float64)
+        s2 += np.frombuffer(p["s2"], dtype=np.float64).reshape(d, d)
+    mu = s / n
+    cov = s2 / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)       # ascending
+    W = evecs[:, ::-1][:, :k]                # top-k, descending eigenvalue
+    flip = np.sign(W[np.abs(W).argmax(axis=0), np.arange(k)])
+    W = W * flip
+    ref = ray.put((mu, W))
+
+    def project(batch: dict) -> dict:
+        mu_b, W_b = ray.get(ref)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+        P = (V - mu_b) @ W_b
+        out = {"vec_id": batch["vec_id"]}
+        for j in range(W_b.shape[1]):
+            out[f"pc{j}"] = P[:, j]
+        return out
+
+    return ds.map_batches(project, batch_format="numpy")

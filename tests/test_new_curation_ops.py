@@ -231,3 +231,28 @@ def test_tdigest_merge_associative_and_exactish_small():
     # exact on a set smaller than the centroid budget
     small = TDigest.from_values(np.arange(10, dtype="float64"))
     assert small.quantile(0.0) == 0.0 and small.quantile(1.0) == 9.0
+
+
+def test_pca_embeddings_matches_numpy(ray_session, con):
+    """Distributed moment-partial PCA reproduces a direct numpy
+    eigensolve (same sign convention) to float tolerance, and the score
+    columns are variance-ordered."""
+    import numpy as np
+
+    from ocr_corrector_ray.pipelines.analytics import pca_embeddings
+
+    got = pca_embeddings(SF_DIR, k=3).to_pandas().sort_values("vec_id")
+    emb = con.execute(
+        "SELECT vec_id, embedding FROM read_parquet("
+        f"'{SF_DIR}/embeddings.parquet') ORDER BY vec_id").df()
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    mu = V.mean(axis=0)
+    cov = (V - mu).T @ (V - mu) / len(V)
+    evals, evecs = np.linalg.eigh(cov)
+    W = evecs[:, ::-1][:, :3]
+    W = W * np.sign(W[np.abs(W).argmax(axis=0), np.arange(3)])
+    expect = (V - mu) @ W
+    P = got[["pc0", "pc1", "pc2"]].to_numpy()
+    assert np.allclose(P, expect, atol=1e-8)
+    v = P.var(axis=0)
+    assert v[0] >= v[1] >= v[2]
