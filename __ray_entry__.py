@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_tokens": _approx_distinct_tokens,
         "heavy_hitter_tokens": _heavy_hitter_tokens,
         "approx_quantiles_value": _approx_quantiles_value,
+        "bloom_decontaminate_docs": textstats.bloom_decontaminate_docs,
         # training-data tooling + multimodal plumbing (rows-only)
         "correction_pairs": _correction_pairs,
         "confusion_counts": _confusion_counts,
@@ -406,7 +407,9 @@ def oracle_sql() -> dict[str, str]:
       (eigensolve — numpy-pinned in tests), ``approx_distinct_tokens`` /
       ``heavy_hitter_tokens`` / ``approx_quantiles_value`` (sketches —
       estimates are tolerance/rank-error-tested, winners pinned vs
-      exact in tests/),
+      exact in tests/), ``bloom_decontaminate_docs`` (Bloom membership:
+      a strict superset of the oracled exact ``decontaminate_docs`` —
+      the superset property and FP inflation are pytest-pinned),
       ``media_features`` / ``media_resize`` / ``media_frame_sample`` /
       ``media_audio_features`` (binary payload decode / resize /
       seek-sample / PCM-spectral stages).

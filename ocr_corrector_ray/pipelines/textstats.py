@@ -754,6 +754,33 @@ def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 2,
     )
 
 
+def _gram_positions(df: pd.DataFrame, n: int):
+    """flat (doc_row, gram) arrays for every token n-gram position —
+    shared by the exact and Bloom decontamination probes so their gram
+    construction can never diverge (the no-false-negative guarantee of
+    the Bloom path depends on it)."""
+    toks = df["text"].fillna("").str.split()
+    lens = toks.str.len().to_numpy(dtype="int64")
+    # explode() emits one NaN row for an EMPTY token list — drop
+    # those so positions stay aligned with np.repeat(lens) below
+    # (lens counts an empty doc as 0 tokens, explode would add 1)
+    flat = toks.explode(ignore_index=True).astype(object)
+    flat = flat[flat.notna()].reset_index(drop=True)
+    if not len(flat):
+        return np.empty(0, dtype="int64"), pd.Series([], dtype=object)
+    doc_of = np.repeat(np.arange(len(df), dtype="int64"), lens)
+    gram = flat.copy()
+    for j in range(1, n):
+        gram = gram + " " + flat.shift(-j).fillna("")
+    # a position is valid when the whole window stays in one doc
+    valid = np.zeros(len(flat), dtype=bool)
+    if len(doc_of) >= n:
+        valid[: len(doc_of) - (n - 1)] = (
+            doc_of[: len(doc_of) - (n - 1)] == doc_of[n - 1 :]
+        )
+    return doc_of[valid], gram[valid]
+
+
 def decontaminate_docs(sf_dir: str, n: int = 3, bench_mod: int = 97):
     """Benchmark decontamination: flag corpus documents sharing any token
     ``n``-gram with a held-out benchmark set — the standard "did eval
@@ -777,27 +804,7 @@ def decontaminate_docs(sf_dir: str, n: int = 3, bench_mod: int = 97):
     path = _p(sf_dir, "documents")
 
     def gram_positions(df: pd.DataFrame):
-        """flat (doc_row, gram) arrays for every n-gram position."""
-        toks = df["text"].fillna("").str.split()
-        lens = toks.str.len().to_numpy(dtype="int64")
-        # explode() emits one NaN row for an EMPTY token list — drop
-        # those so positions stay aligned with np.repeat(lens) below
-        # (lens counts an empty doc as 0 tokens, explode would add 1)
-        flat = toks.explode(ignore_index=True).astype(object)
-        flat = flat[flat.notna()].reset_index(drop=True)
-        if not len(flat):
-            return np.empty(0, dtype="int64"), pd.Series([], dtype=object)
-        doc_of = np.repeat(np.arange(len(df), dtype="int64"), lens)
-        gram = flat.copy()
-        for j in range(1, n):
-            gram = gram + " " + flat.shift(-j).fillna("")
-        # a position is valid when the whole window stays in one doc
-        valid = np.zeros(len(flat), dtype=bool)
-        if len(doc_of) >= n:
-            valid[: len(doc_of) - (n - 1)] = (
-                doc_of[: len(doc_of) - (n - 1)] == doc_of[n - 1 :]
-            )
-        return doc_of[valid], gram[valid]
+        return _gram_positions(df, n)
 
     # pass 1 (benchmark side, bounded): per-batch DISTINCT grams of the
     # held-out docs stream to the driver; union into one frozen set.
@@ -1208,4 +1215,95 @@ def bigram_pmi_topk(sf_dir: str, k: int = 20, min_count: int = 5,
         .map_groups(attach_right_and_score, batch_format="pandas")
         .sort(["pmi", "ngram"], descending=[True, False])
         .limit(k)
+    )
+
+
+def _bloom_positions(grams, m_bits: int, k_hashes: int):
+    """(n_grams, k) array of Bloom bit positions via double hashing
+    (Kirsch & Mitzenmacher 2006): pos_i = (h1 + i*h2) mod m, both
+    halves drawn from the repo's shared 64-bit gram hash."""
+    h = hash64_array(list(grams))
+    h1 = h % np.uint64(m_bits)
+    h2 = ((h >> np.uint64(32)) | np.uint64(1)) % np.uint64(m_bits)
+    i = np.arange(k_hashes, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)
+
+
+def bloom_decontaminate_docs(sf_dir: str, n: int = 3, bench_mod: int = 97,
+                             m_bits: int = 1 << 20, k_hashes: int = 4):
+    """Bloom-filter decontamination — the 100-TB scale path of
+    ``decontaminate_docs``.  The exact operator broadcasts the benchmark
+    gram set as a Python frozenset; at a real eval-suite scale (billions
+    of grams) that set no longer fits a worker heap, so this variant
+    compresses it into a fixed ``m_bits`` Bloom bit array (128 KiB at
+    the default 2^20) with NO false negatives: every exactly-
+    contaminated doc is flagged with at least its exact hit count
+    (pytest pins the superset property and bounds the false-positive
+    inflation).
+
+    Scale shape: the benchmark side builds PARTIAL bit arrays per batch
+    (one fixed-size bytes row per batch, regardless of gram count) that
+    the driver ORs — merge traffic is batch-count-, never gram-count-,
+    sized, exactly like the HLL sketch; the corpus side is the same
+    streaming actor-pool probe as the exact path, with the isin swapped
+    for a vectorized k-position bit test.  Gram construction is shared
+    (``_gram_positions``) so the two paths can never diverge."""
+    import ray
+
+    cols = ["doc_id", "text"]
+    path = _p(sf_dir, "documents")
+    n_words = m_bits // 64
+
+    def bench_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % bench_mod == 0]
+        arr = np.zeros(n_words, dtype=np.uint64)
+        if len(df):
+            _, grams = _gram_positions(df, n)
+            if len(grams):
+                pos = _bloom_positions(grams.to_numpy(dtype=object), m_bits, k_hashes)
+                words = (pos >> np.uint64(6)).ravel()
+                bits = np.uint64(1) << (pos & np.uint64(63)).ravel()
+                np.bitwise_or.at(arr, words, bits)
+        return pd.DataFrame({"bloom": [arr.tobytes()]})
+
+    merged = np.zeros(n_words, dtype=np.uint64)
+    for b in (
+        ray.data.read_parquet(path, columns=cols)
+        .map_batches(bench_partial, batch_format="pandas")
+        .iter_batches(batch_format="pandas")
+    ):
+        for raw in b["bloom"]:
+            merged |= np.frombuffer(raw, dtype=np.uint64)
+    bloom_ref = ray.put(merged)
+
+    class Probe:
+        def __init__(self, ref):
+            self.bloom = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["doc_id"] % bench_mod != 0].reset_index(drop=True)
+            empty = pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_hits": pd.Series([], dtype="int64"),
+            })
+            if not len(df):
+                return empty
+            doc_of, grams = _gram_positions(df, n)
+            if not len(grams):
+                return empty
+            pos = _bloom_positions(grams.to_numpy(dtype=object), m_bits, k_hashes)
+            words = pos >> np.uint64(6)
+            bits = (pos & np.uint64(63)).astype(np.uint64)
+            set_ = (self.bloom[words] >> bits) & np.uint64(1)
+            hit = set_.all(axis=1)
+            counts = np.bincount(doc_of[hit], minlength=len(df))
+            keep = counts > 0
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(dtype="int64")[keep],
+                "n_hits": counts[keep].astype("int64"),
+            })
+
+    return ray.data.read_parquet(path, columns=cols).map_batches(
+        Probe, fn_constructor_kwargs={"ref": bloom_ref},
+        batch_format="pandas", concurrency=(1, 8)
     )

@@ -256,3 +256,22 @@ def test_pca_embeddings_matches_numpy(ray_session, con):
     assert np.allclose(P, expect, atol=1e-8)
     v = P.var(axis=0)
     assert v[0] >= v[1] >= v[2]
+
+
+def test_bloom_decontaminate_superset_of_exact(ray_session):
+    """The Bloom path can never miss a contaminated doc (no false
+    negatives): every exact hit appears with at least its exact count;
+    false-positive inflation stays small at the default sizing."""
+    from ocr_corrector_ray.pipelines.textstats import (
+        bloom_decontaminate_docs,
+        decontaminate_docs,
+    )
+
+    exact = decontaminate_docs(SF_DIR).to_pandas().set_index("doc_id")["n_hits"]
+    bloom = bloom_decontaminate_docs(SF_DIR).to_pandas().set_index("doc_id")["n_hits"]
+    assert set(exact.index) <= set(bloom.index)
+    aligned = bloom.reindex(exact.index)
+    assert (aligned >= exact).all()
+    # 2^20 bits vs a few thousand bench grams: position-level false
+    # positives should inflate total hits by well under 1%
+    assert bloom.sum() <= exact.sum() * 1.01 + 5
