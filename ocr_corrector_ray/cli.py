@@ -52,11 +52,15 @@ def main(argv=None) -> int:
                          "(--bucketize-to layout) and ships only changed "
                          "spans across the shuffle")
     ap.add_argument("--stage", default="correct",
-                    choices=["correct", "media-features", "media-resize",
-                             "media-frame-sample", "media-audio"],
                     help="pipeline to run: the extraction+correction flagship "
-                         "(default) or one of the multimodal stages over the "
-                         "same interleaved-doc input")
+                         "(default), a multimodal stage (media-features, "
+                         "media-resize, media-frame-sample, media-audio) over "
+                         "the same interleaved-doc input, or query:<name> to "
+                         "run any driver-registry query (see "
+                         "__ray_entry__.queries()) over --sf-dir and write "
+                         "its result as parquet")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                    help="testdata table directory for --stage query:<name>")
     ap.add_argument("--span-threshold", type=int, default=4096,
                     help="hybrid-mode routing bound: docs with more spans than "
                          "this take the explode/shuffle path")
@@ -76,7 +80,13 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
 
-    if not args.input and not args.gen_docs:
+    _MEDIA_STAGES = ("media-features", "media-resize", "media-frame-sample",
+                     "media-audio")
+    is_query = args.stage.startswith("query:")
+    if args.stage != "correct" and args.stage not in _MEDIA_STAGES and not is_query:
+        ap.error(f"unknown --stage {args.stage!r} (correct, "
+                 f"{', '.join(_MEDIA_STAGES)}, or query:<name>)")
+    if not is_query and not args.input and not args.gen_docs:
         ap.error("one of --input or --gen-docs is required")
     if not args.output and not args.bucketize_to:
         ap.error("--output is required (unless --bucketize-to)")
@@ -104,8 +114,10 @@ def main(argv=None) -> int:
             if not os.path.exists(src):
                 print(f"error: input not found: {src}", file=sys.stderr)
                 return 2
-        else:
+        elif args.gen_docs:
             src = datagen.corpus_path(args.gen_docs, seed=args.seed)
+        else:
+            src = args.sf_dir  # query stage: tables come from --sf-dir
 
         t0 = time.perf_counter()
         if args.bucketize_to:
@@ -116,6 +128,53 @@ def main(argv=None) -> int:
                 "input": src, "bucketized_to": args.bucketize_to,
                 "num_partitions": args.num_partitions,
                 "wall_s": round(time.perf_counter() - t0, 3),
+            }))
+            return 0
+        if is_query:
+            # the registry lives in the repo-root driver-contract module;
+            # resolvable when the CLI runs from the repo root (the `ray
+            # job submit` working-dir layout)
+            import importlib
+
+            try:
+                entry = importlib.import_module("__ray_entry__")
+            except ImportError:
+                print("error: __ray_entry__ not importable — run from the "
+                      "repo root", file=sys.stderr)
+                return 2
+            qname = args.stage.split(":", 1)[1]
+            registry = entry.queries()
+            if qname not in registry:
+                print(f"error: unknown query {qname!r}; available: "
+                      f"{', '.join(sorted(registry))}", file=sys.stderr)
+                return 2
+            res = registry[qname](args.sf_dir)
+            if os.path.isdir(args.output):
+                err = output_clear_guard(args.output, args.sf_dir)
+                if err is not None:
+                    print(f"error: {err}", file=sys.stderr)
+                    return 2
+                for r, _, fs in os.walk(args.output):
+                    for f in fs:
+                        if f.endswith(".parquet"):
+                            os.unlink(os.path.join(r, f))
+            if isinstance(res, ray.data.Dataset):
+                res.write_parquet(args.output)
+                n_rows = ray.data.read_parquet(args.output).count()
+            else:
+                # small pandas / pyarrow results: one file, same contract
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                tbl = res if isinstance(res, pa.Table) else pa.Table.from_pandas(res)
+                os.makedirs(args.output, exist_ok=True)
+                pq.write_table(tbl, os.path.join(args.output, "part-0.parquet"))
+                n_rows = tbl.num_rows
+            wall = time.perf_counter() - t0
+            print(json.dumps({
+                "query": qname, "sf_dir": args.sf_dir, "output": args.output,
+                "rows": n_rows, "wall_s": round(wall, 3),
+                "rows_per_s": round(n_rows / wall, 2) if wall > 0 else None,
             }))
             return 0
         if args.stage != "correct":

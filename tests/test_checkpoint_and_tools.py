@@ -584,3 +584,38 @@ def test_checkpoint_format_persisted_and_resolved(ray_session, tmp_path):
         ck.checkpoint_format(out)
     with pytest.raises(RuntimeError, match="mixed fragment formats"):
         ck.read_corrected(out)
+
+
+def test_cli_query_stage_runs_registry_query(tmp_path):
+    """`--stage query:<name>` runs a driver-registry query over --sf-dir
+    and writes its result as parquet (own Ray session in a subprocess;
+    must run from the repo root so __ray_entry__ resolves)."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "qout"
+    proc = subprocess.run(
+        [sys.executable, "-m", "ocr_corrector_ray.cli",
+         "--stage", "query:doc_stats", "--sf-dir", "/root/testdata/sf0.001",
+         "--output", str(out), "--num-cpus", "4"],
+        cwd=repo, capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["query"] == "doc_stats" and summary["rows"] > 0
+    import pyarrow.parquet as pq
+
+    files = [os.path.join(r, f) for r, _, fs in os.walk(out)
+             for f in fs if f.endswith(".parquet")]
+    assert sum(pq.ParquetFile(f).metadata.num_rows for f in files) == summary["rows"]
+
+    # unknown query name fails loudly, listing the registry
+    bad = subprocess.run(
+        [sys.executable, "-m", "ocr_corrector_ray.cli",
+         "--stage", "query:nope", "--output", str(tmp_path / "x"),
+         "--num-cpus", "4"],
+        cwd=repo, capture_output=True, text=True, timeout=120,
+    )
+    assert bad.returncode == 2 and "unknown query" in bad.stderr
