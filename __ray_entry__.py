@@ -355,6 +355,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_active_users": analytics.weekly_active_users,
         "bigram_pmi_topk": textstats.bigram_pmi_topk,
         "event_path_topk": analytics.event_path_topk,
+        "dsir_importance_weights": textstats.dsir_importance_weights,
+        "substring_dup_spans": dedup.substring_dup_spans,
+        # SemDeDup-flavoured semantic dedup: survivors over the EXACT
+        # cosine pair graph (recall-complete, unlike the LSH
+        # embedding_neardup source), so it carries a full SQL oracle
+        "neardup_survivors_cosine": lambda sf: dedup.neardup_survivors(
+            sf, threshold=0.4, source="cosine"
+        ),
         # rows-only by nature
         "ivf_ann_topk": analytics.ivf_ann_topk,  # approximate: recall-bound-tested
         "kmeans_embeddings": analytics.kmeans_embeddings,  # iterative
@@ -503,7 +511,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM sim_sig a JOIN sim_sig b ON a.doc_id < b.doc_id
                 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)"""
 
-    def closure_sql(pair_cte: str, pair_rel: str) -> str:
+    def closure_sql(pair_cte: str, pair_rel: str,
+                    id_table: str = "documents", id_col: str = "doc_id") -> str:
         """Survivors = ids minus connected-component non-representatives:
         min-id labels via a recursive reachability CTE over the verified
         pair graph (UNION dedups rows, so the iteration terminates)."""
@@ -518,8 +527,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT r.node, e.b AS m FROM cc_reach r JOIN cc_e e ON e.a = r.m),
             cc_drops AS (
                 SELECT node FROM cc_reach GROUP BY node HAVING min(m) < node)
-            SELECT doc_id FROM documents
-            WHERE doc_id NOT IN (SELECT node FROM cc_drops)
+            SELECT {id_col} FROM {id_table}
+            WHERE {id_col} NOT IN (SELECT node FROM cc_drops)
         """
 
     # ---- extraction-kernel conformance ---------------------------------
@@ -1356,6 +1365,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, n, pmi FROM scored
             ORDER BY pmi DESC, ngram LIMIT 20
         """,
+        # DSIR importance weights: hashed token-bigram log-likelihood
+        # ratio of target (doc_id%97==0) vs raw; bucket = the shared
+        # hash64 (md5_number_lower) % 1024 so SQL rebuilds the features
+        # exactly, add-1 smoothing on both sides
+        "dsir_importance_weights": r"""
+            WITH tk AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            grams AS (
+                SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+                FROM tk, UNNEST(range(1, len(t))) AS u(i)),
+            b AS (SELECT doc_id,
+                         CAST(md5_number_lower(g) % 1024 AS BIGINT) AS bkt
+                  FROM grams),
+            tgt AS (SELECT bkt, count(*) AS c FROM b WHERE doc_id % 97 = 0 GROUP BY 1),
+            rw AS (SELECT bkt, count(*) AS c FROM b WHERE doc_id % 97 <> 0 GROUP BY 1),
+            tot AS (SELECT (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) FROM tgt) AS nt,
+                           (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) FROM rw) AS nr),
+            lr AS (SELECT r.k AS bkt,
+                          ln((coalesce(t.c, 0) + 1) / ((SELECT nt FROM tot) + 1024.0))
+                          - ln((coalesce(w.c, 0) + 1) / ((SELECT nr FROM tot) + 1024.0)) AS w
+                   FROM range(0, 1024) r(k)
+                   LEFT JOIN tgt t ON t.bkt = r.k
+                   LEFT JOIN rw w ON w.bkt = r.k),
+            sc AS (SELECT b.doc_id, count(*) AS n_grams, sum(lr.w) AS s
+                   FROM b JOIN lr USING (bkt)
+                   WHERE b.doc_id % 97 <> 0 GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(sc.n_grams, 0) AS n_grams,
+                   coalesce(floor(sc.s * 10000) / 10000, 0.0) AS logweight
+            FROM documents d LEFT JOIN sc USING (doc_id)
+            WHERE d.doc_id % 97 <> 0
+        """,
+        # exact-substring duplication sampled at fixed 32-char windows
+        # every 16 chars; window hash = the shared hash64 idiom
+        "substring_dup_spans": """
+            WITH w AS (
+                SELECT doc_id, md5_number_lower(substr(text, CAST(p AS INT), 32)) AS h
+                FROM documents,
+                     UNNEST(generate_series(1, len(coalesce(text, '')) - 31, 16)) AS u(p)),
+            nd AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM w GROUP BY h),
+            per AS (SELECT w.doc_id, count(*) AS n_windows,
+                           CAST(coalesce(sum(CASE WHEN nd.n_docs >= 2
+                                                  THEN 1 ELSE 0 END), 0)
+                                AS BIGINT) AS n_dup
+                    FROM w JOIN nd USING (h) GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(per.n_windows, 0) AS n_windows,
+                   coalesce(per.n_dup, 0) AS n_dup_windows,
+                   coalesce(floor(CAST(per.n_dup AS DOUBLE) / per.n_windows
+                                  * 10000) / 10000, 0.0) AS dup_frac
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "neardup_survivors_cosine": closure_sql(
+            """cp AS (
+                SELECT a.vec_id AS a, b.vec_id AS b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])) >= 0.4)""",
+            "cp", id_table="embeddings", id_col="vec_id",
+        ),
         # per-language z-score normalization; population variance via the
         # same explicit (sumsq - sum^2/n)/n formula as the Ray side
         "quality_zscore_by_lang": """

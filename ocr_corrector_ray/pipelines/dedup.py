@@ -510,6 +510,12 @@ def _neardup_pair_source(source: str, sf_dir: str, threshold: float):
         return simhash_neardup_pairs(sf_dir), "documents", "doc_id"
     if source == "embedding":
         return embedding_neardup(sf_dir), "embeddings", "vec_id"
+    if source == "cosine":
+        # SemDeDup-flavoured semantic dedup (Abbas et al. 2023): one
+        # survivor per connected component of the EXACT cosine>=t pair
+        # graph — recall-complete (unlike the LSH "embedding" source),
+        # and fully SQL-oracled via the embedding_cosine_pairs CTE
+        return embedding_cosine_pairs(sf_dir, threshold=threshold), "embeddings", "vec_id"
     raise ValueError(f"unknown near-dup source {source!r}")
 
 
@@ -911,3 +917,109 @@ def embedding_cosine_pairs(sf_dir: str, threshold: float = 0.4):
         batch_size=2048,
         concurrency=2,
     )
+
+
+def substring_dup_spans(sf_dir: str, length: int = 32, stride: int = 16,
+                        num_buckets: int | None = None):
+    """doc_id, n_windows, n_dup_windows, dup_frac: exact-substring
+    duplication signal (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better" — the ExactSubstr criterion, sampled
+    at fixed window positions instead of a full suffix array): each
+    document is scanned in ``length``-char windows every ``stride``
+    chars, and a window counts as duplicated when its exact text occurs
+    at any window position in >= 2 distinct documents.  ``dup_frac`` is
+    the duplicated share of the doc's windows — the per-doc signal a
+    curation pass thresholds on.
+
+    Scale shape mirrors ``line_dedup_docs``: the corpus crosses ONE
+    tokenize-like scan into the compact (doc_id, h) window-hash
+    intermediate (materialized, spillable; h = hash64(window) ==
+    DuckDB's md5_number_lower, so the operator carries a full SQL
+    oracle); per-hash distinct-doc counts come from a bounded
+    ``grouped_agg`` (per-batch-distinct combiner first — a doc's rows
+    never split across batches); the duplicated hashes attach back via
+    the ``_bucketed_attach`` hash-partitioned lookup join (never a
+    driver broadcast — at web scale the dup set is corpus-shaped); the
+    per-doc finish is one doc-bucketed exchange.  Text never crosses
+    any exchange."""
+    import pyarrow as pa
+
+    from ..functions.hashing import hash64_array
+    from ._agg import grouped_agg
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+
+    num_buckets = num_buckets or default_num_buckets()
+    phys = physical_partitions(num_buckets)
+    path = _p(sf_dir, "documents")
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+
+    def window_rows(df: pd.DataFrame) -> pa.Table:
+        ids, windows = [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            text = text or ""
+            for p in range(0, len(text) - (length - 1), stride):
+                ids.append(doc_id)
+                windows.append(text[p : p + length])
+        h = hash64_array(windows).view(np.int64) if windows else np.empty(0, "int64")
+        return pa.table({
+            "doc_id": pa.array(np.asarray(ids, dtype="int64")),
+            "h": pa.array(h),
+        })
+
+    windows_m = ds.map_batches(window_rows, batch_format="pandas").materialize()
+
+    # distinct (h, doc) per batch is globally distinct (row-level reads
+    # never split a doc across batches), so the groupby counts docs
+    def distinct_pairs(df: pd.DataFrame):
+        return arrow_out(df.drop_duplicates(["h", "doc_id"]))
+
+    dup_tbl = grouped_agg(
+        windows_m.map_batches(distinct_pairs, batch_format="pandas"),
+        ["h"], {"n_docs": ("doc_id", "size")}, num_partitions=num_buckets,
+    ).map_batches(
+        lambda d: arrow_out(d[d["n_docs"] >= 2]), batch_format="pandas"
+    )
+
+    attached = _bucketed_attach(
+        windows_m, dup_tbl, key_col="h", src_key="h", src_val="n_docs",
+        out_col="n_docs", num_buckets=num_buckets,
+        pair_fill={"doc_id": -1}, val_type=pa.int64(),
+    )
+
+    def add_dbkt(t: pa.Table) -> pa.Table:
+        dd = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column("__dbkt", pa.array((dd % num_buckets).astype("int32")))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("doc_id", as_index=False, sort=False).agg(
+            n_windows=("n_docs", "size"), n_dup=("n_docs", "count")
+        )
+        nw = agg["n_windows"].to_numpy(dtype="int64")
+        nd = agg["n_dup"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "doc_id": agg["doc_id"].to_numpy(dtype="int64"),
+            "n_windows": nw,
+            "n_dup_windows": nd,
+            "dup_frac": np.floor(nd / nw * 10000) / 10000,
+        })
+
+    body = (
+        attached.map_batches(add_dbkt, batch_format="pyarrow")
+        .groupby("__dbkt", num_partitions=phys)
+        .map_groups(finish, batch_format="pandas")
+    )
+
+    # docs too short for a single window never enter the window rows:
+    # union their zero rows back (vectorized length mask, no re-scan of
+    # window contents)
+    def empties(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["text"].fillna("").str.len() < length]
+        n = len(d)
+        return pd.DataFrame({
+            "doc_id": d["doc_id"].to_numpy(dtype="int64"),
+            "n_windows": np.zeros(n, dtype="int64"),
+            "n_dup_windows": np.zeros(n, dtype="int64"),
+            "dup_frac": np.zeros(n, dtype="float64"),
+        })
+
+    return body.union(ds.map_batches(empties, batch_format="pandas"))

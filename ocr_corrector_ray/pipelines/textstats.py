@@ -1307,3 +1307,95 @@ def bloom_decontaminate_docs(sf_dir: str, n: int = 3, bench_mod: int = 97,
         Probe, fn_constructor_kwargs={"ref": bloom_ref},
         batch_format="pandas", concurrency=(1, 8)
     )
+
+
+def dsir_importance_weights(sf_dir: str, num_feat: int = 1024, bench_mod: int = 97):
+    """doc_id, n_grams, logweight: DSIR-style importance weights (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling") — each RAW document scored by the log-likelihood ratio
+    of its hashed token-bigram features under the target vs the raw
+    distribution: sum over gram positions of log(p_target(bucket)) -
+    log(p_raw(bucket)), bucket = hash64(gram) % ``num_feat``, both
+    distributions add-1 smoothed.  High logweight = reads like the
+    target set; downstream selection resamples proportional to the
+    exponentiated weight.  The target split reuses the deterministic
+    ``doc_id % bench_mod == 0`` convention of ``decontaminate_docs`` so
+    the operator is self-contained and fully SQL-checkable.
+
+    Scale shape: pass 1 streams per-batch bucket bincounts (≤ num_feat
+    rows per batch per side) to the driver and sums them into two
+    bounded count vectors — the corpus never lands anywhere; the
+    log-ratio LUT (num_feat float64s) broadcasts once via ``ray.put``;
+    pass 2 is one streaming map_batches doing a vectorized bucket
+    lookup + per-doc bincount-weighted sums.  No shuffle anywhere."""
+    import ray
+
+    path = _p(sf_dir, "documents")
+    cols = ["doc_id", "text"]
+
+    def bucket_partials(df: pd.DataFrame) -> pd.DataFrame:
+        doc_of, grams = _gram_positions(df, 2)
+        if not len(grams):
+            return pd.DataFrame({
+                "bkt": pd.Series([], dtype="int64"),
+                "ct": pd.Series([], dtype="int64"),
+                "cr": pd.Series([], dtype="int64"),
+            })
+        bkt = (hash64_array(list(grams)) % np.uint64(num_feat)).astype("int64")
+        is_t = (df["doc_id"].to_numpy(dtype="int64")[doc_of] % bench_mod) == 0
+        ct = np.bincount(bkt[is_t], minlength=num_feat)
+        cr = np.bincount(bkt[~is_t], minlength=num_feat)
+        idx = np.nonzero((ct > 0) | (cr > 0))[0]
+        return pd.DataFrame({
+            "bkt": idx.astype("int64"),
+            "ct": ct[idx].astype("int64"),
+            "cr": cr[idx].astype("int64"),
+        })
+
+    c_tgt = np.zeros(num_feat, dtype=np.int64)
+    c_raw = np.zeros(num_feat, dtype=np.int64)
+    for b in (
+        ray.data.read_parquet(path, columns=cols)
+        .map_batches(bucket_partials, batch_format="pandas")
+        .iter_batches(batch_format="pandas")
+    ):
+        np.add.at(c_tgt, b["bkt"].to_numpy(), b["ct"].to_numpy())
+        np.add.at(c_raw, b["bkt"].to_numpy(), b["cr"].to_numpy())
+
+    n_tgt, n_raw = int(c_tgt.sum()), int(c_raw.sum())
+    lr = np.log((c_tgt + 1) / (n_tgt + float(num_feat))) - np.log(
+        (c_raw + 1) / (n_raw + float(num_feat))
+    )
+    lr_ref = ray.put(lr)
+
+    class Score:
+        def __init__(self, ref):
+            self.lr = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["doc_id"] % bench_mod != 0].reset_index(drop=True)
+            n = len(df)
+            if not n:
+                return pd.DataFrame({
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_grams": pd.Series([], dtype="int64"),
+                    "logweight": pd.Series([], dtype="float64"),
+                })
+            doc_of, grams = _gram_positions(df, 2)
+            if len(grams):
+                bkt = (hash64_array(list(grams)) % np.uint64(num_feat)).astype("int64")
+                s = np.bincount(doc_of, weights=self.lr[bkt], minlength=n)
+                n_grams = np.bincount(doc_of, minlength=n)
+            else:
+                s = np.zeros(n, dtype=np.float64)
+                n_grams = np.zeros(n, dtype=np.int64)
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(dtype="int64"),
+                "n_grams": n_grams.astype("int64"),
+                "logweight": np.floor(s * 10000) / 10000,
+            })
+
+    return ray.data.read_parquet(path, columns=cols).map_batches(
+        Score, fn_constructor_kwargs={"ref": lr_ref},
+        batch_format="pandas", concurrency=(1, 8)
+    )

@@ -275,3 +275,74 @@ def test_bloom_decontaminate_superset_of_exact(ray_session):
     # 2^20 bits vs a few thousand bench grams: position-level false
     # positives should inflate total hits by well under 1%
     assert bloom.sum() <= exact.sum() * 1.01 + 5
+
+
+def test_dsir_weights_favor_targetlike_docs(ray_session, con):
+    """DSIR sanity: a raw doc that shares every bigram with the target
+    split must outscore (per gram) the corpus median, and weights are
+    emitted for every raw doc — including empty ones at exactly 0."""
+    import numpy as np
+
+    from ocr_corrector_ray.pipelines.textstats import dsir_importance_weights
+
+    got = dsir_importance_weights(SF_DIR).to_pandas()
+    n_raw = con.execute(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/documents.parquet') "
+        "WHERE doc_id % 97 <> 0"
+    ).fetchone()[0]
+    assert len(got) == n_raw
+    assert not (got["doc_id"] % 97 == 0).any()
+    with_grams = got[got["n_grams"] > 0]
+    # add-1 smoothing keeps every weight finite
+    assert np.isfinite(with_grams["logweight"]).all()
+    assert (got.loc[got["n_grams"] == 0, "logweight"] == 0.0).all()
+
+
+def test_substring_dup_spans_matches_brute_force(ray_session, con):
+    """Engine-independent pin: a serial Python recomputation of the
+    fixed-window exact-substring signal (no hashes, raw string
+    equality) reproduces the distributed result exactly — so the
+    hash64 bucketing, the distinct-doc combiner, and the bucketed
+    attach introduce no drift."""
+    from collections import defaultdict
+
+    from ocr_corrector_ray.pipelines.dedup import substring_dup_spans
+
+    got = substring_dup_spans(SF_DIR).to_pandas().set_index("doc_id").sort_index()
+    docs = con.execute(
+        f"SELECT doc_id, coalesce(text, '') AS text "
+        f"FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).df()
+    owners = defaultdict(set)
+    wins = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        ws = [text[p : p + 32] for p in range(0, len(text) - 31, 16)]
+        wins[doc_id] = ws
+        for w in set(ws):
+            owners[w].add(doc_id)
+    for doc_id, ws in wins.items():
+        n_dup = sum(1 for w in ws if len(owners[w]) >= 2)
+        row = got.loc[doc_id]
+        assert row["n_windows"] == len(ws)
+        assert row["n_dup_windows"] == n_dup
+    # the synthetic corpus actually exercises the signal (small vocab
+    # means cross-doc 32-char collisions exist)
+    assert int(got["n_dup_windows"].sum()) > 0
+    assert (got["n_dup_windows"] <= got["n_windows"]).all()
+
+
+def test_cosine_survivors_subsume_lsh_embedding_drops(ray_session):
+    """The exact-cosine survivor set can only drop MORE vectors than the
+    LSH source (whose recall < 1 can miss pairs), and both keep each
+    component's min id."""
+    from ocr_corrector_ray.pipelines.dedup import neardup_survivors
+
+    exact = set(
+        neardup_survivors(SF_DIR, threshold=0.4, source="cosine")
+        .to_pandas()["vec_id"]
+    )
+    lsh = set(
+        neardup_survivors(SF_DIR, threshold=0.4, source="embedding")
+        .to_pandas()["vec_id"]
+    )
+    assert exact <= lsh  # exact recall drops a superset of LSH's drops

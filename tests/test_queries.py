@@ -94,6 +94,10 @@ _TAIL_ORACLED_OK = {
     "weekly_active_users",
     "bigram_pmi_topk",
     "event_path_topk",
+    # fourth r5 session additions (same evidence basis)
+    "dsir_importance_weights",
+    "substring_dup_spans",
+    "neardup_survivors_cosine",
 }
 
 
