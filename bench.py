@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "media_features",       # multimodal actor-pool decode+featurize (r5)
     "line_dedup_docs",      # C4-style line-level dedup, hash-only dedup exchange (r5)
     "local_supplier_volume",  # TPC-H Q5-shape 6-table snowflake join (r5)
+    "substring_dup_spans",  # fixed-window exact-substring dup signal (r5 s4)
+    "dsir_importance_weights",  # DSIR hashed-bigram selection weights (r5 s4)
 ]
 HEADLINE = "ocr_correct"
 
