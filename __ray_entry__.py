@@ -363,6 +363,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_survivors_cosine": lambda sf: dedup.neardup_survivors(
             sf, threshold=0.4, source="cosine"
         ),
+        # context-window chunking + multilingual temperature resampling
+        "chunk_docs": textstats.chunk_docs,
+        "lang_temperature_weights": textstats.lang_temperature_weights,
         # rows-only by nature
         "ivf_ann_topk": analytics.ivf_ann_topk,  # approximate: recall-bound-tested
         "kmeans_embeddings": analytics.kmeans_embeddings,  # iterative
@@ -1426,6 +1429,38 @@ def oracle_sql() -> dict[str, str]:
                                              CAST(b.embedding AS DOUBLE[])) >= 0.4)""",
             "cp", id_table="embeddings", id_col="vec_id",
         ),
+        # fixed-size context-window chunking: non-overlapping 64-token
+        # chunks of the whitespace-token stream (1-based inclusive list
+        # slicing mirrors the Python [ci*64:(ci+1)*64] slice)
+        "chunk_docs": r"""
+            WITH tk AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS n
+                FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            ch AS (
+                SELECT doc_id, t, n, CAST(u.ci AS BIGINT) AS chunk_id
+                FROM tk, UNNEST(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS u(ci))
+            SELECT doc_id, chunk_id,
+                   least(64, n - chunk_id * 64) AS n_tokens,
+                   array_to_string(t[chunk_id * 64 + 1:least((chunk_id + 1) * 64, n)],
+                                   ' ') AS chunk_text
+            FROM ch
+        """,
+        # XLM-R-style temperature resampling: doc weight q_l/p_l with
+        # q_l ∝ p_l^0.3; floor-scaled 1e4 per the bit-match rule
+        "lang_temperature_weights": """
+            WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+                       FROM documents GROUP BY lang),
+            tot AS (SELECT sum(n) AS total FROM c),
+            w AS (SELECT lang, n / (SELECT total FROM tot) AS p,
+                         pow(n / (SELECT total FROM tot), 0.3) AS pa
+                  FROM c),
+            z AS (SELECT sum(pa) AS zz FROM w)
+            SELECT d.doc_id, d.lang,
+                   floor(w.pa / (SELECT zz FROM z) / w.p * 10000) / 10000
+                       AS doc_weight
+            FROM documents d JOIN w USING (lang)
+        """,
         # per-language z-score normalization; population variance via the
         # same explicit (sumsq - sum^2/n)/n formula as the Ray side
         "quality_zscore_by_lang": """

@@ -1399,3 +1399,77 @@ def dsir_importance_weights(sf_dir: str, num_feat: int = 1024, bench_mod: int = 
         Score, fn_constructor_kwargs={"ref": lr_ref},
         batch_format="pandas", concurrency=(1, 8)
     )
+
+
+def chunk_docs(sf_dir: str, chunk: int = 64):
+    """doc_id, chunk_id, n_tokens, chunk_text: split each document's
+    whitespace-token stream into fixed-size non-overlapping chunks —
+    the standard context-window preparation step before tokenizer
+    packing (``pack_sequences`` consumes whole docs; this feeds it
+    bounded pieces so one giant doc cannot blow a sequence budget).
+
+    Scale: embarrassingly parallel — one pruned read, one map_batches,
+    no exchange; output rows ~ n_tokens/chunk per doc.  Each chunk row
+    carries only its own slice of text, so block sizes stay bounded
+    even for pathological multi-MB documents (the explode mirrors the
+    span-explode design of pipelines/correct.py).  Empty docs produce
+    no chunks (mirrored by the oracle's trim() filter)."""
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, chunk_ids, ntoks, ctexts = [], [], [], []
+        for did, text in zip(df["doc_id"].to_numpy(), df["text"].fillna("")):
+            toks = text.split()
+            n = len(toks)
+            for ci in range((n + chunk - 1) // chunk):
+                seg = toks[ci * chunk:(ci + 1) * chunk]
+                doc_ids.append(did)
+                chunk_ids.append(ci)
+                ntoks.append(len(seg))
+                ctexts.append(" ".join(seg))
+        return pd.DataFrame({
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "chunk_id": pd.Series(chunk_ids, dtype="int64"),
+            "n_tokens": pd.Series(ntoks, dtype="int64"),
+            "chunk_text": pd.Series(ctexts, dtype="object"),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def lang_temperature_weights(sf_dir: str, alpha: float = 0.3):
+    """doc_id, lang, doc_weight: per-document multiplicative resampling
+    weight under temperature-based language rebalancing (the public
+    XLM-R / mBERT exponential-smoothing recipe): with p_l the corpus
+    language share, the target mix is q_l = p_l^alpha / sum_m p_m^alpha
+    and each doc in language l gets weight q_l / p_l, so upsampling
+    low-resource languages and downsampling dominant ones while the
+    expected corpus size is preserved (sum of weights == n_docs).
+
+    Scale: pass 1 is a groupby('lang').count() whose output is bounded
+    by the number of LANGUAGES (tiny), pass 2 broadcasts the weight map
+    into a stateless map_batches — no doc-sized exchange anywhere.
+    Weights are floor-scaled to 1e4 per the repo's oracle-bit-match
+    rule."""
+    path = _p(sf_dir, "documents")
+    counts = (
+        ray.data.read_parquet(path, columns=["lang"])
+        .groupby("lang").count().to_pandas()
+        .sort_values("lang", ignore_index=True)  # deterministic sum order
+    )
+    n = counts["count()"].to_numpy(dtype=np.float64)
+    p = n / n.sum()
+    pa_ = np.power(p, alpha)
+    w = np.floor(pa_ / pa_.sum() / p * 10000) / 10000
+    wmap = dict(zip(counts["lang"], w))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(dtype="int64"),
+            "lang": df["lang"],
+            "doc_weight": df["lang"].map(wmap).astype("float64"),
+        })
+
+    return ray.data.read_parquet(path, columns=["doc_id", "lang"]).map_batches(
+        fn, batch_format="pandas"
+    )

@@ -346,3 +346,51 @@ def test_cosine_survivors_subsume_lsh_embedding_drops(ray_session):
         .to_pandas()["vec_id"]
     )
     assert exact <= lsh  # exact recall drops a superset of LSH's drops
+
+
+def test_chunk_docs_reassembles_to_token_stream(ray_session):
+    """Chunks are a partition of each doc's whitespace-token stream:
+    concatenating chunk_text in chunk_id order must reproduce
+    ' '.join(text.split()), every chunk except the last is exactly
+    full, and n_tokens sums to the doc's token count."""
+    import pyarrow.parquet as pq
+
+    from ocr_corrector_ray.pipelines.textstats import chunk_docs
+
+    got = chunk_docs(SF_DIR, chunk=64).to_pandas()
+    docs = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas().set_index("doc_id")["text"].fillna("")
+    by_doc = got.sort_values(["doc_id", "chunk_id"]).groupby("doc_id")
+    seen = set()
+    for doc_id, g in by_doc:
+        seen.add(doc_id)
+        toks = docs.loc[doc_id].split()
+        assert list(g["chunk_id"]) == list(range(len(g)))
+        assert " ".join(g["chunk_text"]) == " ".join(toks)
+        assert int(g["n_tokens"].sum()) == len(toks)
+        assert (g["n_tokens"].iloc[:-1] == 64).all()
+        assert 1 <= g["n_tokens"].iloc[-1] <= 64
+    # every non-empty doc chunked; empty docs absent
+    nonempty = {d for d, t in docs.items() if t.split()}
+    assert seen == nonempty
+
+
+def test_lang_temperature_weights_rebalance(ray_session):
+    """Temperature weights preserve expected corpus size (sum == n_docs
+    up to the 1e-4 floor), upsample the rarest language and downsample
+    the most common one, and are constant within a language."""
+    from ocr_corrector_ray.pipelines.textstats import lang_temperature_weights
+
+    got = lang_temperature_weights(SF_DIR, alpha=0.3).to_pandas()
+    per_lang = got.groupby("lang").agg(
+        n=("doc_id", "size"), w=("doc_weight", "first"),
+        nuniq=("doc_weight", "nunique"),
+    )
+    assert (per_lang["nuniq"] == 1).all()
+    # expected corpus size preserved (floor-scale slack: 1e-4 per doc)
+    assert abs(got["doc_weight"].sum() - len(got)) <= 1e-4 * len(got) + 1e-6
+    rare = per_lang["n"].idxmin()
+    common = per_lang["n"].idxmax()
+    if per_lang.loc[rare, "n"] < per_lang.loc[common, "n"]:
+        assert per_lang.loc[rare, "w"] > 1.0 > per_lang.loc[common, "w"]

@@ -98,6 +98,9 @@ _TAIL_ORACLED_OK = {
     "dsir_importance_weights",
     "substring_dup_spans",
     "neardup_survivors_cosine",
+    # fifth r5 session additions (same evidence basis)
+    "chunk_docs",
+    "lang_temperature_weights",
 }
 
 
