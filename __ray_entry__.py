@@ -367,6 +367,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": textstats.chunk_docs,
         "lang_temperature_weights": textstats.lang_temperature_weights,
         # rows-only by nature
+        # max-munch segmentation: pytest-pinned.  vocab_top=16 < the
+        # synthetic corpus's 31-word vocabulary so the driver row shows
+        # real multi-piece shattering (default 512 suits real corpora)
+        "wordpiece_fertility": lambda sf: textstats.wordpiece_fertility(
+            sf, vocab_top=16
+        ),
         "ivf_ann_topk": analytics.ivf_ann_topk,  # approximate: recall-bound-tested
         "kmeans_embeddings": analytics.kmeans_embeddings,  # iterative
         "pca_embeddings": analytics.pca_embeddings,  # eigensolve: numpy-pinned
@@ -424,6 +430,9 @@ def oracle_sql() -> dict[str, str]:
       ``media_features`` / ``media_resize`` / ``media_frame_sample`` /
       ``media_audio_features`` (binary payload decode / resize /
       seek-sample / PCM-spectral stages).
+    - ``wordpiece_fertility``: wordpiece max-munch segmentation under a
+      corpus-learned vocab is not SQL-expressible; a pytest replays the
+      identical FullTokenizer serially and asserts exact equality.
     """
     toks = r"regexp_split_to_array(trim(text), '\s+')"
     n_tokens = rf"CASE WHEN trim(text) = '' THEN 0 ELSE len({toks}) END"

@@ -1473,3 +1473,98 @@ def lang_temperature_weights(sf_dir: str, alpha: float = 0.3):
     return ray.data.read_parquet(path, columns=["doc_id", "lang"]).map_batches(
         fn, batch_format="pandas"
     )
+
+
+def wordpiece_fertility(sf_dir: str, vocab_top: int = 512):
+    """doc_id, n_words, n_pieces, n_unk, fertility: wordpiece fertility
+    audit — pieces emitted per basic token under the repo's
+    reference-parity FullTokenizer (functions/tokenization.py, the
+    reference's BasicTokenizer→WordpieceTokenizer chain) with a vocab
+    LEARNED from this corpus: the top ``vocab_top`` basic tokens as
+    whole-word pieces plus every character (word-initial and "##"
+    continuation forms), so common words cost one piece and rare words
+    shatter.  Fertility is THE quantity a tokenizer choice is judged by
+    before a training run (pieces/word ≈ sequence-length multiplier).
+
+    Scale: pass 1 is the ngram_topk(n=1) shape — in-batch Counter
+    combiner, coarse-bucket grouped sum, exact per-partition head(k) —
+    so the exchange is distinct-words-per-batch rows and the driver only
+    ever holds the k winners; pass 2 broadcasts the vocab via ray.put
+    into an actor pool (tokenizer built once per actor in __init__).
+    Rows-only in the driver gate: wordpiece max-munch segmentation is
+    not SQL-expressible; exactness is pinned by a pytest that replays
+    the identical FullTokenizer serially."""
+    from ._agg import grouped_agg
+    from ..functions.tokenization import BasicTokenizer
+
+    path = _p(sf_dir, "documents")
+    ds = ray.data.read_parquet(path, columns=["text"])
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        basic = BasicTokenizer(do_lower_case=True)
+        c: Counter = Counter()
+        for text in df["text"].fillna(""):
+            c.update(basic.tokenize(text))
+        return pd.DataFrame(
+            {"word": list(c.keys()),
+             "n": pd.Series(list(c.values()), dtype="int64")}
+        )
+
+    winners = grouped_agg(
+        ds.map_batches(partial_counts, batch_format="pandas"),
+        ["word"], {"n": ("n", "sum")},
+        finish_fn=lambda g: g.sort_values(
+            ["n", "word"], ascending=[False, True]
+        ).head(vocab_top),
+    ).sort(["n", "word"], descending=[True, False]).limit(vocab_top)
+
+    top_words = [r["word"] for r in winners.take(vocab_top)]
+    vocab: dict[str, int] = {}
+    for t in ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]:
+        vocab[t] = len(vocab)
+    for w in top_words:
+        if w not in vocab:
+            vocab[w] = len(vocab)
+        for ch in w:  # char fallback pieces so top-word chars never UNK
+            for piece in (ch, "##" + ch):
+                if piece not in vocab:
+                    vocab[piece] = len(vocab)
+    vocab_ref = ray.put(vocab)
+
+    class Fertility:
+        def __init__(self, ref):
+            from ..functions.tokenization import FullTokenizer
+
+            self.tok = FullTokenizer(ray.get(ref), do_lower_case=True)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            nw, np_, nu, fert = [], [], [], []
+            for text in df["text"].fillna(""):
+                words = self.tok.basic.tokenize(text)
+                pieces = 0
+                unk = 0
+                for w in words:
+                    ps = self.tok.wordpiece.tokenize(w)
+                    pieces += len(ps)
+                    unk += sum(1 for p in ps if p == "[UNK]")
+                nw.append(len(words))
+                np_.append(pieces)
+                nu.append(unk)
+                fert.append(
+                    np.floor(pieces / len(words) * 10000) / 10000
+                    if words else 0.0
+                )
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(dtype="int64"),
+                "n_words": pd.Series(nw, dtype="int64"),
+                "n_pieces": pd.Series(np_, dtype="int64"),
+                "n_unk": pd.Series(nu, dtype="int64"),
+                "fertility": pd.Series(fert, dtype="float64"),
+            })
+
+    return ray.data.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        Fertility, fn_constructor_kwargs={"ref": vocab_ref},
+        batch_format="pandas", concurrency=(1, 8)
+    )

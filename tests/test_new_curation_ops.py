@@ -394,3 +394,66 @@ def test_lang_temperature_weights_rebalance(ray_session):
     common = per_lang["n"].idxmax()
     if per_lang.loc[rare, "n"] < per_lang.loc[common, "n"]:
         assert per_lang.loc[rare, "w"] > 1.0 > per_lang.loc[common, "w"]
+
+
+def test_wordpiece_fertility_matches_serial_tokenizer(ray_session):
+    """Exactness pin for the rows-only fertility op: replay the SAME
+    vocab construction and FullTokenizer serially over every doc and
+    require identical (n_words, n_pieces, n_unk, fertility).  vocab_top
+    is 8 here — the sf0.001 synthetic corpus has only ~31 distinct
+    words, so a small vocab forces real multi-piece segmentation."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ocr_corrector_ray.functions.tokenization import (
+        BasicTokenizer, FullTokenizer)
+    from ocr_corrector_ray.pipelines.textstats import wordpiece_fertility
+
+    got = (
+        wordpiece_fertility(SF_DIR, vocab_top=8)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    texts = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas().set_index("doc_id")["text"].fillna("")
+
+    basic = BasicTokenizer(do_lower_case=True)
+    counts: Counter = Counter()
+    for t in texts:
+        counts.update(basic.tokenize(t))
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    vocab = {}
+    for t in ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]:
+        vocab[t] = len(vocab)
+    for w, _ in top:
+        if w not in vocab:
+            vocab[w] = len(vocab)
+        for ch in w:
+            for piece in (ch, "##" + ch):
+                if piece not in vocab:
+                    vocab[piece] = len(vocab)
+    tok = FullTokenizer(vocab, do_lower_case=True)
+
+    assert set(got.index) == set(texts.index)
+    for doc_id, text in texts.items():
+        words = tok.basic.tokenize(text)
+        pieces, unk = 0, 0
+        for w in words:
+            ps = tok.wordpiece.tokenize(w)
+            pieces += len(ps)
+            unk += sum(1 for p in ps if p == "[UNK]")
+        row = got.loc[doc_id]
+        assert row["n_words"] == len(words)
+        assert row["n_pieces"] == pieces
+        assert row["n_unk"] == unk
+        exp_f = np.floor(pieces / len(words) * 10000) / 10000 if words else 0.0
+        assert row["fertility"] == exp_f
+    # the learned vocab must actually compress: corpus-level fertility
+    # well under the per-char ceiling, and some multi-piece words exist
+    with_words = got[got["n_words"] > 0]
+    assert (with_words["fertility"] >= 1.0).all()
+    assert (with_words["n_pieces"] > with_words["n_words"]).any()
+    corpus_fert = with_words["n_pieces"].sum() / with_words["n_words"].sum()
+    assert corpus_fert < 3.0
