@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "local_supplier_volume",  # TPC-H Q5-shape 6-table snowflake join (r5)
     "substring_dup_spans",  # fixed-window exact-substring dup signal (r5 s4)
     "dsir_importance_weights",  # DSIR hashed-bigram selection weights (r5 s4)
+    "wordpiece_fertility",  # corpus-learned-vocab tokenizer audit, actor pool (r5 s5)
 ]
 HEADLINE = "ocr_correct"
 
