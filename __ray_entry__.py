@@ -366,6 +366,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # context-window chunking + multilingual temperature resampling
         "chunk_docs": textstats.chunk_docs,
         "lang_temperature_weights": textstats.lang_temperature_weights,
+        # CCNet-style perplexity terciles over the unigram-xent scores
+        "ccnet_bucket_docs": textstats.ccnet_bucket_docs,
         # rows-only by nature
         # max-munch segmentation: pytest-pinned.  vocab_top=16 < the
         # synthetic corpus's 31-word vocabulary so the driver row shows
@@ -1438,6 +1440,32 @@ def oracle_sql() -> dict[str, str]:
                                              CAST(b.embedding AS DOUBLE[])) >= 0.4)""",
             "cp", id_table="embeddings", id_col="vec_id",
         ),
+        # CCNet perplexity terciles: the unigram-xent CTE chain + exact
+        # quantile_disc cuts (1-based ceil(n*q)-th element, the same
+        # semantics the Ray side reads off its bounded histogram)
+        "ccnet_bucket_docs": r"""
+            WITH tk AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            p AS (SELECT doc_id, unnest(t) AS tok, len(t) AS n FROM tk),
+            c AS (SELECT doc_id, tok, count(*) AS c, max(n) AS n
+                  FROM p GROUP BY doc_id, tok),
+            ct AS (SELECT tok, sum(c) AS ct FROM c GROUP BY tok),
+            tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS n_total FROM ct),
+            e AS (
+                SELECT c.doc_id, max(c.n) AS n_tokens,
+                       floor(sum(c.c * (log2((SELECT n_total FROM tot))
+                                        - log2(CAST(ct.ct AS DOUBLE))))
+                             / max(c.n) * 10000) / 10000 AS xent
+                FROM c JOIN ct USING (tok) GROUP BY c.doc_id),
+            cuts AS (SELECT quantile_disc(xent, 1.0/3) AS c1,
+                            quantile_disc(xent, 2.0/3) AS c2 FROM e)
+            SELECT doc_id, n_tokens, xent,
+                   CASE WHEN xent <= c1 THEN 'head'
+                        WHEN xent <= c2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM e, cuts
+        """,
         # fixed-size context-window chunking: non-overlapping 64-token
         # chunks of the whitespace-token stream (1-based inclusive list
         # slicing mirrors the Python [ci*64:(ci+1)*64] slice)

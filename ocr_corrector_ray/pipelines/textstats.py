@@ -1568,3 +1568,53 @@ def wordpiece_fertility(sf_dir: str, vocab_top: int = 512):
         Fertility, fn_constructor_kwargs={"ref": vocab_ref},
         batch_format="pandas", concurrency=(1, 8)
     )
+
+
+def ccnet_bucket_docs(sf_dir: str):
+    """doc_id, n_tokens, xent, bucket: CCNet-style (Wenzek et al. 2020)
+    perplexity bucketing — non-empty docs split into head / middle /
+    tail terciles by their unigram cross-entropy (``unigram_xent_docs``
+    is the scoring pass; lower xent = more natural under the corpus's
+    own LM = head).  The classic curation move: train on head+middle,
+    audit or drop tail.
+
+    Scale: the xent table (three fixed-width columns, no text) is
+    materialized ONCE — ~1/1000 of corpus bytes — then (a) a bounded
+    histogram over the floor-scaled xent values (distinct count ≤ 1e4 ×
+    the xent range in bits, independent of corpus size) yields EXACT
+    tercile cuts with quantile_disc semantics (1-based ceil(n*q)-th
+    element, same derivation as lang_quantile_chars), and (b) a
+    stateless broadcast-cut labeling pass re-reads the same
+    materialized table.  No doc-text ever crosses an exchange."""
+    from ._agg import grouped_agg
+
+    xent_ds = unigram_xent_docs(sf_dir)
+
+    def nonempty(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["n_tokens"] > 0]
+
+    scored = xent_ds.map_batches(nonempty, batch_format="pandas").materialize()
+
+    hist = grouped_agg(scored, ["xent"], {"cnt": ("xent", "size")}).to_pandas()
+    hist = hist.sort_values("xent", ignore_index=True)
+    cum = hist["cnt"].cumsum().to_numpy()
+    n = int(cum[-1])
+    vals = hist["xent"].to_numpy()
+
+    def disc(q: float) -> float:
+        pos = int(np.ceil(n * q))  # 1-based rank, quantile_disc semantics
+        return float(vals[np.searchsorted(cum, pos)])
+
+    c1, c2 = disc(1.0 / 3.0), disc(2.0 / 3.0)
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["xent"].to_numpy()
+        bucket = np.where(x <= c1, "head", np.where(x <= c2, "middle", "tail"))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(dtype="int64"),
+            "n_tokens": df["n_tokens"].to_numpy(dtype="int64"),
+            "xent": x,
+            "bucket": pd.Series(bucket, dtype="object"),
+        })
+
+    return scored.map_batches(label, batch_format="pandas")

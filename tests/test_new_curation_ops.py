@@ -457,3 +457,21 @@ def test_wordpiece_fertility_matches_serial_tokenizer(ray_session):
     assert (with_words["n_pieces"] > with_words["n_words"]).any()
     corpus_fert = with_words["n_pieces"].sum() / with_words["n_words"].sum()
     assert corpus_fert < 3.0
+
+
+def test_ccnet_buckets_are_balanced_terciles(ray_session):
+    """Bucket sizes follow quantile_disc tercile ranks (± ties at the
+    cut values) and head docs have strictly lower xent than tail docs."""
+    from ocr_corrector_ray.pipelines.textstats import ccnet_bucket_docs
+
+    got = ccnet_bucket_docs(SF_DIR).to_pandas()
+    n = len(got)
+    sizes = got["bucket"].value_counts()
+    assert set(sizes.index) <= {"head", "middle", "tail"}
+    # ties at a cut can only GROW the lower bucket past its rank
+    assert sizes.get("head", 0) >= int(n / 3) - 1
+    assert sizes.get("head", 0) + sizes.get("middle", 0) >= int(2 * n / 3) - 1
+    assert float(got.loc[got["bucket"] == "head", "xent"].max()) < float(
+        got.loc[got["bucket"] == "tail", "xent"].min()
+    )
+    assert (got["n_tokens"] > 0).all()

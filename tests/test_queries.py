@@ -101,6 +101,7 @@ _TAIL_ORACLED_OK = {
     # fifth r5 session additions (same evidence basis)
     "chunk_docs",
     "lang_temperature_weights",
+    "ccnet_bucket_docs",
 }
 
 
