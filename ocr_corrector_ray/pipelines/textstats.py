@@ -1538,6 +1538,18 @@ def wordpiece_fertility(sf_dir: str, vocab_top: int = 512):
             from ..functions.tokenization import FullTokenizer
 
             self.tok = FullTokenizer(ray.get(ref), do_lower_case=True)
+            # distinct words ≪ word instances: memoize the max-munch
+            # result per word for the actor's lifetime (bounded by the
+            # corpus vocabulary, the same quantity pass 1 aggregates)
+            self._memo: dict[str, tuple[int, int]] = {}
+
+        def _word(self, w: str) -> tuple[int, int]:
+            hit = self._memo.get(w)
+            if hit is None:
+                ps = self.tok.wordpiece.tokenize(w)
+                hit = (len(ps), sum(1 for p in ps if p == "[UNK]"))
+                self._memo[w] = hit
+            return hit
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             nw, np_, nu, fert = [], [], [], []
@@ -1546,9 +1558,9 @@ def wordpiece_fertility(sf_dir: str, vocab_top: int = 512):
                 pieces = 0
                 unk = 0
                 for w in words:
-                    ps = self.tok.wordpiece.tokenize(w)
-                    pieces += len(ps)
-                    unk += sum(1 for p in ps if p == "[UNK]")
+                    n_p, n_u = self._word(w)
+                    pieces += n_p
+                    unk += n_u
                 nw.append(len(words))
                 np_.append(pieces)
                 nu.append(unk)
