@@ -368,6 +368,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_temperature_weights": textstats.lang_temperature_weights,
         # CCNet-style perplexity terciles over the unigram-xent scores
         "ccnet_bucket_docs": textstats.ccnet_bucket_docs,
+        # Gopher rule-set quality filter (Rae et al. 2021 §A1.1) and the
+        # Stupid-Backoff bigram-LM perplexity signal (Brants et al. 2007)
+        "gopher_quality_docs": textstats.gopher_quality_docs,
+        "stupid_backoff_xent": textstats.stupid_backoff_xent,
         # rows-only by nature
         # max-munch segmentation: pytest-pinned.  vocab_top=16 < the
         # synthetic corpus's 31-word vocabulary so the driver row shows
@@ -1500,6 +1504,78 @@ def oracle_sql() -> dict[str, str]:
         """,
         # per-language z-score normalization; population variance via the
         # same explicit (sumsq - sum^2/n)/n formula as the Ray side
+        # Gopher rule set: every ratio floor-scaled to 1e4 and thresholds
+        # compared on the SCALED values, mirroring the Ray kernel
+        "gopher_quality_docs": rf"""
+            WITH t AS (
+                SELECT doc_id, coalesce(text, '') AS txt,
+                       CASE WHEN trim(coalesce(text, '')) = '' THEN NULL
+                            ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+                FROM documents),
+            f AS (
+                SELECT doc_id,
+                       coalesce(len(tk), 0) AS n_words,
+                       coalesce(len(array_to_string(tk, '')), 0) AS sum_len,
+                       coalesce(len(list_filter(tk,
+                           x -> regexp_matches(x, '[A-Za-z]'))), 0) AS n_alpha,
+                       coalesce(len(list_filter(tk,
+                           x -> x IN {_STOP_SQL})), 0) AS n_stop,
+                       len(txt) - len(replace(txt, '#', ''))
+                         + len(regexp_extract_all(txt, '\.\.\.')) AS symbols
+                FROM t),
+            s AS (
+                SELECT doc_id, n_words, n_stop,
+                       floor(CAST(sum_len AS DOUBLE) / greatest(n_words, 1)
+                             * 10000) / 10000 AS mean_word_len,
+                       floor(CAST(n_alpha AS DOUBLE) / greatest(n_words, 1)
+                             * 10000) / 10000 AS frac_alpha_words,
+                       floor(CAST(symbols AS DOUBLE) / greatest(n_words, 1)
+                             * 10000) / 10000 AS symbol_ratio
+                FROM f)
+            SELECT doc_id, n_words, mean_word_len, frac_alpha_words,
+                   symbol_ratio, n_stop,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND symbol_ratio < 0.1 AND frac_alpha_words >= 0.8
+                    AND n_stop >= 2) AS keep
+            FROM s
+        """,
+        # Stupid Backoff: per-(doc, bigram) c-weighted log terms so the
+        # arithmetic matches the Ray kernel's distinct-bigram rows; the
+        # LM prune (ctb >= 30) decides hit vs backoff on both sides
+        "stupid_backoff_xent": r"""
+            WITH tk AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            bg AS (
+                SELECT doc_id, t[i] AS l, t[i+1] AS r
+                FROM tk, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)),
+            bgc AS (SELECT doc_id, l, r, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+            bc AS (SELECT l, r, sum(c) AS ctb FROM bgc GROUP BY l, r),
+            lm AS (SELECT * FROM bc WHERE ctb >= 30),
+            uni AS (SELECT unnest(t) AS tok FROM tk),
+            uc AS (SELECT tok, count(*) AS ct FROM uni GROUP BY tok),
+            nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM uni),
+            sc AS (
+                SELECT bgc.doc_id, bgc.c,
+                       bgc.c * CASE WHEN lm.ctb IS NOT NULL
+                            THEN log2(CAST(lm.ctb AS DOUBLE))
+                                 - log2(CAST(ul.ct AS DOUBLE))
+                            ELSE log2(0.4) + log2(CAST(ur.ct AS DOUBLE))
+                                 - log2((SELECT n FROM nt))
+                       END AS lg
+                FROM bgc
+                LEFT JOIN lm ON lm.l = bgc.l AND lm.r = bgc.r
+                JOIN uc ul ON ul.tok = bgc.l
+                JOIN uc ur ON ur.tok = bgc.r),
+            e AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                         floor(-sum(lg) / sum(c) * 10000) / 10000 AS xent
+                  FROM sc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(e.n_bigrams, 0) AS n_bigrams,
+                   coalesce(e.xent, 0.0) AS xent
+            FROM documents d LEFT JOIN e USING (doc_id)
+        """,
         "quality_zscore_by_lang": """
             WITH m AS (SELECT lang, count(*) AS n,
                               sum(CAST(n_chars AS DOUBLE)) AS s,

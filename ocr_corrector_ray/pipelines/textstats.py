@@ -1630,3 +1630,266 @@ def ccnet_bucket_docs(sf_dir: str):
         })
 
     return scored.map_batches(label, batch_format="pandas")
+
+
+def gopher_quality_docs(sf_dir: str, min_words: int = 50, max_words: int = 100_000,
+                        min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                        max_symbol_ratio: float = 0.1, min_frac_alpha: float = 0.8,
+                        min_stop: int = 2):
+    """doc_id, n_words, mean_word_len, frac_alpha_words, symbol_ratio,
+    n_stop, keep: the Gopher document-quality rule set (Rae et al. 2021
+    §A1.1 — the public heuristics every large-scale pretraining corpus
+    pass applies before model-based filtering): word count within
+    [min_words, max_words], mean word length within [3, 10], symbol
+    ratio ('#' and '...' occurrences per word) below 0.1, >= 80% of
+    words containing an alphabetic character, and at least two
+    stop words.  ``keep`` is the conjunction; every intermediate signal
+    is emitted so a curation pass can re-threshold without re-scanning.
+
+    Ratios are floor-scaled to 1e4 and the thresholds compare the
+    SCALED values, so the DuckDB oracle reproduces ``keep`` exactly.
+    Embarrassingly parallel: one pruned read, one vectorized
+    token-explode + bincount kernel per batch, no exchange."""
+    from itertools import chain
+
+    from .analytics import STOPWORDS
+
+    stop = set(STOPWORDS)
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        raw = df["text"].fillna("")
+        toks = raw.str.split()
+        n = toks.str.len().to_numpy(dtype="int64")
+        ndocs = len(df)
+        flat = pd.Series(list(chain.from_iterable(toks)), dtype=object)
+        idx = np.repeat(np.arange(ndocs), n)
+        if len(flat):
+            tlens = flat.str.len().to_numpy(dtype="float64")
+            alpha = flat.str.contains("[A-Za-z]", regex=True).to_numpy(dtype="float64")
+            stops = flat.isin(stop).to_numpy(dtype="float64")
+            sum_len = np.bincount(idx, weights=tlens, minlength=ndocs)
+            n_alpha = np.bincount(idx, weights=alpha, minlength=ndocs)
+            n_stop = np.bincount(idx, weights=stops, minlength=ndocs)
+        else:
+            sum_len = n_alpha = n_stop = np.zeros(ndocs, dtype="float64")
+        symbols = (raw.str.count("#") + raw.str.count(r"\.\.\.")).to_numpy(
+            dtype="float64")
+        safe_n = np.maximum(n, 1)
+        mean_len = np.floor(sum_len / safe_n * 10000) / 10000
+        frac_alpha = np.floor(n_alpha / safe_n * 10000) / 10000
+        sym_ratio = np.floor(symbols / safe_n * 10000) / 10000
+        keep = (
+            (n >= min_words) & (n <= max_words)
+            & (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+            & (sym_ratio < max_symbol_ratio)
+            & (frac_alpha >= min_frac_alpha)
+            & (n_stop >= min_stop)
+        )
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(dtype="int64"),
+            "n_words": n,
+            "mean_word_len": mean_len,
+            "frac_alpha_words": frac_alpha,
+            "symbol_ratio": sym_ratio,
+            "n_stop": n_stop.astype("int64"),
+            "keep": keep,
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def stupid_backoff_xent(sf_dir: str, min_count: int = 30, alpha: float = 0.4,
+                        num_buckets: int | None = None):
+    """doc_id, n_bigrams, xent: per-doc cross-entropy (bits per token
+    transition) under a corpus-trained bigram LM with Stupid Backoff
+    (Brants et al. 2007, "Large Language Models in Machine
+    Translation"): score(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1})
+    when the bigram survives the count prune (corpus count >=
+    ``min_count`` — the standard trick that keeps a web-corpus n-gram
+    table bounded), else ``alpha`` * c(w_i) / N.  The CCNet-style
+    quality signal one notch above ``unigram_xent_docs``: word order
+    now matters, so shuffled-token soup scores high even when its
+    unigram distribution looks stereotypical.  xent is floor-scaled to
+    1e4; docs with < 2 tokens emit 0/0.0.
+
+    Scale shape: ONE tokenize scan emits a side-tagged compact
+    intermediate — per-doc distinct-bigram rows (doc_id, key hashes, c,
+    n_bg) plus per-batch unigram count partials — materialized once.
+    The bigram LM table (``grouped_agg`` + count prune) and the unigram
+    table are corpus-bounded and attach back via TWO
+    ``_bucketed_attach`` hash-partitioned lookup joins (never a driver
+    broadcast: unpruned web-scale tables are corpus-shaped), first on
+    hash64(bigram) for the LM hit, then on hash64(left-or-right token)
+    for the divisor/backoff count.  One doc-bucketed finish; N comes
+    from per-batch partials (one tiny row per batch).  Text never
+    crosses an exchange — only int64 hashes (hash64 ==
+    md5_number_lower, the repo's oracle-recomputable idiom; the SQL
+    oracle joins on the token strings themselves, identical modulo
+    md5 collisions)."""
+    import math
+    from itertools import chain
+
+    import pyarrow as pa
+
+    from ._agg import grouped_agg
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+    from .dedup import _bucketed_attach
+
+    num_buckets = num_buckets or default_num_buckets()
+    phys = physical_partitions(num_buckets)
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    COMBINED = pa.schema([
+        ("doc_id", pa.int64()), ("bh", pa.int64()), ("lh", pa.int64()),
+        ("rh", pa.int64()), ("c", pa.int64()), ("n_bg", pa.int64()),
+        ("side", pa.string()),
+    ])
+
+    def scan(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].fillna("").str.split()
+        n = toks.str.len().to_numpy(dtype="int64")
+        docids = df["doc_id"].to_numpy(dtype="int64")
+        flat = list(chain.from_iterable(toks))
+        uh = hash64_array(flat).view(np.int64)
+        # unigram side: ONE partial count row per distinct token per
+        # batch (combiner — the exchange ships vocab-, not corpus-,
+        # sized rows)
+        u = pd.DataFrame({"lh": uh}).groupby("lh", as_index=False, sort=False).agg(
+            c=("lh", "size"))
+        # bigram side: explode (l, r) adjacent pairs, aggregate per
+        # (doc, bigram) in-batch
+        nb = np.maximum(n - 1, 0)
+        l_toks = list(chain.from_iterable(t[:-1] for t in toks))
+        r_toks = list(chain.from_iterable(t[1:] for t in toks))
+        b = pd.DataFrame({
+            "doc_id": docids.repeat(nb),
+            "bh": hash64_array(
+                [lt + "\x1f" + rt for lt, rt in zip(l_toks, r_toks)]
+            ).view(np.int64),
+            "lh": hash64_array(l_toks).view(np.int64),
+            "rh": hash64_array(r_toks).view(np.int64),
+            "n_bg": nb.repeat(nb),
+        })
+        g = b.groupby(["doc_id", "bh"], as_index=False, sort=False).agg(
+            lh=("lh", "first"), rh=("rh", "first"), c=("bh", "size"),
+            n_bg=("n_bg", "first"))
+        nu, ng = len(u), len(g)
+        return pa.Table.from_arrays([
+            pa.array(np.concatenate([np.full(nu, -1, dtype="int64"),
+                                     g["doc_id"].to_numpy(dtype="int64")])),
+            pa.array(np.concatenate([np.full(nu, -1, dtype="int64"),
+                                     g["bh"].to_numpy(dtype="int64")])),
+            pa.array(np.concatenate([u["lh"].to_numpy(dtype="int64"),
+                                     g["lh"].to_numpy(dtype="int64")])),
+            pa.array(np.concatenate([np.full(nu, -1, dtype="int64"),
+                                     g["rh"].to_numpy(dtype="int64")])),
+            pa.array(np.concatenate([u["c"].to_numpy(dtype="int64"),
+                                     g["c"].to_numpy(dtype="int64")])),
+            pa.array(np.concatenate([np.full(nu, -1, dtype="int64"),
+                                     g["n_bg"].to_numpy(dtype="int64")])),
+            pa.array(["u"] * nu + ["b"] * ng, pa.string()),
+        ], schema=COMBINED)
+
+    rows_m = ds.map_batches(scan, batch_format="pandas").materialize()
+
+    def u_only(df: pd.DataFrame):
+        return arrow_out(df[df["side"] == "u"][["lh", "c"]])
+
+    def b_only(df: pd.DataFrame):
+        return arrow_out(
+            df[df["side"] == "b"][["doc_id", "bh", "lh", "rh", "c", "n_bg"]])
+
+    # N = corpus token total, from per-batch partial sums (tiny rows)
+    n_total = sum(
+        int(b["partial"].sum()) for b in rows_m.map_batches(
+            lambda d: pd.DataFrame(
+                {"partial": [int(d.loc[d["side"] == "u", "c"].sum())]}),
+            batch_format="pandas",
+        ).iter_batches(batch_format="pandas")
+    )
+
+    uc_tbl = grouped_agg(
+        rows_m.map_batches(u_only, batch_format="pandas"),
+        ["lh"], {"ct": ("c", "sum")}, num_partitions=num_buckets,
+    ).map_batches(arrow_out, batch_format="pandas")
+
+    lm_tbl = grouped_agg(
+        rows_m.map_batches(
+            lambda d: arrow_out(d[d["side"] == "b"][["bh", "c"]]),
+            batch_format="pandas"),
+        ["bh"], {"ctb": ("c", "sum")}, num_partitions=num_buckets,
+    ).map_batches(
+        lambda d: arrow_out(d[d["ctb"] >= min_count]), batch_format="pandas"
+    )
+
+    att1 = _bucketed_attach(
+        rows_m.map_batches(b_only, batch_format="pandas"), lm_tbl,
+        key_col="bh", src_key="bh", src_val="ctb", out_col="ctb",
+        num_buckets=num_buckets,
+        pair_fill={"doc_id": -1, "lh": -1, "rh": -1, "c": -1, "n_bg": -1},
+        val_type=pa.int64(),
+    )
+
+    def add_key2(df: pd.DataFrame) -> pa.Table:
+        # LM hit rows need the LEFT unigram count (the divisor); misses
+        # back off to the RIGHT token's unigram probability
+        hit = df["ctb"].notna().to_numpy()
+        return arrow_out(pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(dtype="int64"),
+            "c": df["c"].to_numpy(dtype="int64"),
+            "n_bg": df["n_bg"].to_numpy(dtype="int64"),
+            "ctb": df["ctb"].to_numpy(dtype="float64"),
+            "key2": np.where(hit, df["lh"].to_numpy(dtype="int64"),
+                             df["rh"].to_numpy(dtype="int64")),
+        }))
+
+    att2 = _bucketed_attach(
+        att1.map_batches(add_key2, batch_format="pandas"), uc_tbl,
+        key_col="key2", src_key="lh", src_val="ct", out_col="ct",
+        num_buckets=num_buckets,
+        pair_fill={"doc_id": -1, "c": -1, "n_bg": -1, "ctb": float("nan")},
+        val_type=pa.int64(),
+    )
+
+    log2_n = math.log2(float(n_total)) if n_total else 0.0
+    log2_a = math.log2(alpha)
+
+    def add_dbkt(t: pa.Table) -> pa.Table:
+        dd = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column("__dbkt", pa.array((dd % num_buckets).astype("int32")))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        ctb = g["ctb"].to_numpy(dtype="float64")
+        ct = g["ct"].to_numpy(dtype="float64")
+        hit = ~np.isnan(ctb)
+        lg = np.where(hit, np.log2(np.where(hit, ctb, 1.0)) - np.log2(ct),
+                      log2_a + np.log2(ct) - log2_n)
+        contrib = g["c"].to_numpy(dtype="float64") * lg
+        agg = g.assign(contrib=contrib).groupby("doc_id", as_index=False,
+                                                sort=False).agg(
+            n_bigrams=("n_bg", "first"), s=("contrib", "sum"))
+        xent = np.floor(-agg["s"].to_numpy() / agg["n_bigrams"].to_numpy()
+                        * 10000) / 10000
+        return pd.DataFrame({
+            "doc_id": agg["doc_id"].to_numpy(dtype="int64"),
+            "n_bigrams": agg["n_bigrams"].to_numpy(dtype="int64"),
+            "xent": xent,
+        })
+
+    body = (
+        att2.map_batches(add_dbkt, batch_format="pyarrow")
+        .groupby("__dbkt", num_partitions=phys)
+        .map_groups(finish, batch_format="pandas")
+    )
+
+    # docs with < 2 tokens have no bigram transition: union 0/0.0 rows
+    def empties(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["text"].fillna("").str.split().str.len() < 2]
+        return pd.DataFrame({
+            "doc_id": d["doc_id"].to_numpy(dtype="int64"),
+            "n_bigrams": np.zeros(len(d), dtype="int64"),
+            "xent": np.zeros(len(d), dtype="float64"),
+        })
+
+    return body.union(ds.map_batches(empties, batch_format="pandas"))

@@ -102,6 +102,9 @@ _TAIL_ORACLED_OK = {
     "chunk_docs",
     "lang_temperature_weights",
     "ccnet_bucket_docs",
+    # sixth r5 session additions (same evidence basis)
+    "gopher_quality_docs",
+    "stupid_backoff_xent",
 }
 
 
