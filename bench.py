@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "substring_dup_spans",  # fixed-window exact-substring dup signal (r5 s4)
     "dsir_importance_weights",  # DSIR hashed-bigram selection weights (r5 s4)
     "wordpiece_fertility",  # corpus-learned-vocab tokenizer audit, actor pool (r5 s5)
+    "gopher_quality_docs",  # Gopher rule-set quality filter, no exchange (r5 s6)
+    "stupid_backoff_xent",  # pruned bigram LM w/ backoff, two bucketed attaches (r5 s6)
 ]
 HEADLINE = "ocr_correct"
 

@@ -265,7 +265,19 @@ def delta_corrected_dataset(
         num_cpus=1,
     )
     deltas = deltas.union(ray.data.from_arrow(_sentinels(num_partitions)))
-    return deltas.groupby("pid", num_partitions=num_partitions).map_groups(
+    # Exchange width decoupled from the LOGICAL bucket count (the house
+    # rule, pipelines/_util.physical_partitions): map_groups fires once
+    # per pid regardless, but each physical partition spawns a
+    # hash-shuffle aggregator actor (0.05 CPU) AND bounds the patch
+    # stage's task parallelism.  At 32 layout buckets on a 4-CPU host
+    # the full 32 aggregators plus the 2x1-CPU corrector pool reserve
+    # 3.6/4 CPUs and STARVE the 1-CPU upstream read/explode/extract
+    # tasks — measured as a livelock (96% idle, ~25 s worker CPU over
+    # 26 min).  Capping at the cluster size keeps the patch stage
+    # cluster-wide on big hosts (32-way at 32 CPUs, the measured-good
+    # config) and frees the small host.
+    exchange_partitions = min(num_partitions, max(8, cpus))
+    return deltas.groupby("pid", num_partitions=exchange_partitions).map_groups(
         make_patch_fn(bucket_dir, fmt, per_group=per_group),
         batch_format="pyarrow",
     )
