@@ -98,6 +98,27 @@ def test_delta_requires_bucketized_layout(ray_session, corpus):
         corrected_dataset(corpus, mode="delta").take_all()
 
 
+def test_delta_wide_layout_on_small_cluster(ray_session, corpus, expected,
+                                            cfg, tmp_path_factory):
+    """Regression guard for the small-host livelock (r5 s6): a 32-bucket
+    layout on this 4-CPU test session used to spawn 32 shuffle
+    aggregators that, with the corrector pool, reserved ~3.6/4 CPUs and
+    starved every upstream task (the sf0.1 run never finished in 900 s).
+    The exchange width is now capped at the cluster size, so this must
+    complete promptly AND stay conformant — it also covers the
+    several-logical-pids-per-physical-partition path the 8-bucket
+    fixture never exercises."""
+    from ocr_corrector_ray.state.checkpoint import bucketize_input
+
+    bdir = str(tmp_path_factory.mktemp("delta_wide") / "buckets")
+    bucketize_input(corpus, bdir, 32)
+    out = corrected_dataset(bdir, cfg, mode="delta").take_all()
+    got = {r["doc_id"]: _span_key(r["spans"]) for r in out}
+    assert set(got) == set(expected)
+    mismatched = [k for k in expected if got[k] != expected[k]]
+    assert mismatched == []
+
+
 def test_patch_codec_roundtrip():
     """encode_patch/apply_patch: substitutions, inserts, deletes, full
     rewrites, >u16 offsets, and empty strings all round-trip."""
