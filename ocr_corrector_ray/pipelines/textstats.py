@@ -1793,35 +1793,44 @@ def stupid_backoff_xent(sf_dir: str, min_count: int = 30, alpha: float = 0.4,
 
     rows_m = ds.map_batches(scan, batch_format="pandas").materialize()
 
-    def u_only(df: pd.DataFrame):
-        return arrow_out(df[df["side"] == "u"][["lh", "c"]])
-
     def b_only(df: pd.DataFrame):
         return arrow_out(
             df[df["side"] == "b"][["doc_id", "bh", "lh", "rh", "c", "n_bg"]])
 
-    # N = corpus token total, from per-batch partial sums (tiny rows)
+    # ONE count exchange for BOTH tables: the unigram and bigram counts
+    # share a grouped_agg keyed (side, bh, lh) — same bh implies same
+    # left token, so the composite key groups u-rows by token and
+    # b-rows by bigram in one shuffle (each exchange costs ~1.5-2 s of
+    # fixed aggregator wall, measured; two separate aggs also re-stream
+    # the doc-sized intermediate twice).  The result is the
+    # vocab+bigram-vocab-bounded count table: materialized because two
+    # consumers (uc/lm) split it — bounded, so object-store-safe at any
+    # corpus size (spills like any bounded side table).
+    cnt_m = grouped_agg(
+        rows_m.map_batches(
+            lambda d: arrow_out(d[["side", "bh", "lh", "c"]]),
+            batch_format="pandas"),
+        ["side", "bh", "lh"], {"ct": ("c", "sum")}, num_partitions=num_buckets,
+    ).map_batches(arrow_out, batch_format="pandas").materialize()
+
+    # N = corpus token total off the BOUNDED count table (one tiny row
+    # per batch; no second pass over the doc-sized rows)
     n_total = sum(
-        int(b["partial"].sum()) for b in rows_m.map_batches(
+        int(b["partial"].sum()) for b in cnt_m.map_batches(
             lambda d: pd.DataFrame(
-                {"partial": [int(d.loc[d["side"] == "u", "c"].sum())]}),
+                {"partial": [int(d.loc[d["side"] == "u", "ct"].sum())]}),
             batch_format="pandas",
         ).iter_batches(batch_format="pandas")
     )
 
-    uc_tbl = grouped_agg(
-        rows_m.map_batches(u_only, batch_format="pandas"),
-        ["lh"], {"ct": ("c", "sum")}, num_partitions=num_buckets,
-    ).map_batches(arrow_out, batch_format="pandas")
-
-    lm_tbl = grouped_agg(
-        rows_m.map_batches(
-            lambda d: arrow_out(d[d["side"] == "b"][["bh", "c"]]),
-            batch_format="pandas"),
-        ["bh"], {"ctb": ("c", "sum")}, num_partitions=num_buckets,
-    ).map_batches(
-        lambda d: arrow_out(d[d["ctb"] >= min_count]), batch_format="pandas"
-    )
+    uc_tbl = cnt_m.map_batches(
+        lambda d: arrow_out(d.loc[d["side"] == "u", ["lh", "ct"]]),
+        batch_format="pandas")
+    lm_tbl = cnt_m.map_batches(
+        lambda d: arrow_out(
+            d.loc[(d["side"] == "b") & (d["ct"] >= min_count), ["bh", "ct"]]
+            .rename(columns={"ct": "ctb"})),
+        batch_format="pandas")
 
     att1 = _bucketed_attach(
         rows_m.map_batches(b_only, batch_format="pandas"), lm_tbl,
