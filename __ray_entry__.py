@@ -372,6 +372,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Stupid-Backoff bigram-LM perplexity signal (Brants et al. 2007)
         "gopher_quality_docs": textstats.gopher_quality_docs,
         "stupid_backoff_xent": textstats.stupid_backoff_xent,
+        # fastText-style hashed-ngram quality classifier (Joulin et al.
+        # 2016), plus the two TPC-H join shapes that complete the join
+        # family: Q4 (inequality-EXISTS semi-join) and Q10 (returned-item
+        # customer ranking: partitioned join + broadcast dim + exact top-k)
+        "hashed_ngram_quality": textstats.hashed_ngram_quality,
+        "order_priority_counts": analytics.order_priority_counts,
+        "returned_item_ranking": analytics.returned_item_ranking,
         # rows-only by nature
         # max-munch segmentation: pytest-pinned.  vocab_top=16 < the
         # synthetic corpus's 31-word vocabulary so the driver row shows
@@ -1584,5 +1591,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, d.lang,
                    round((n_chars - s / n) / sqrt((s2 - s * s / n) / n), 6) AS zscore
             FROM documents d JOIN m ON d.lang = m.lang
+        """,
+        # fastText-style classifier: hashed token-bigram features via the
+        # shared md5 idiom, deterministic Knuth-multiplicative weights
+        "hashed_ngram_quality": r"""
+            WITH tk AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            grams AS (
+                SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+                FROM tk, UNNEST(range(1, len(t))) AS u(i)),
+            b AS (SELECT doc_id,
+                         CAST(md5_number_lower(g) % 2048 AS BIGINT) AS bkt
+                  FROM grams),
+            sc AS (SELECT doc_id, count(*) AS n_grams,
+                          sum(((bkt * 2654435761) % 4096) / 2048.0 - 1.0) AS s
+                   FROM b GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(sc.n_grams, 0) AS n_grams,
+                   coalesce(floor(sc.s / sc.n_grams * 10000) / 10000, 0.0) AS score,
+                   coalesce(sc.s / sc.n_grams > 0.0, false) AS keep
+            FROM documents d LEFT JOIN sc USING (doc_id)
+        """,
+        # TPC-H Q4 shape: EXISTS semi-join with an inequality predicate
+        "order_priority_counts": """
+            SELECT o.o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY 1
+        """,
+        # TPC-H Q10 shape: returned-item revenue per customer, top 20
+        "returned_item_ranking": """
+            WITH rev AS (
+                SELECT o.o_custkey AS c_custkey,
+                       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                           AS revenue
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE l.l_returnflag = 'R'
+                GROUP BY 1)
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, rev.revenue
+            FROM rev JOIN customer c USING (c_custkey)
+            ORDER BY rev.revenue DESC, c.c_custkey
+            LIMIT 20
         """,
     }

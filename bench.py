@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "wordpiece_fertility",  # corpus-learned-vocab tokenizer audit, actor pool (r5 s5)
     "gopher_quality_docs",  # Gopher rule-set quality filter, no exchange (r5 s6)
     "stupid_backoff_xent",  # pruned bigram LM w/ backoff, two bucketed attaches (r5 s6)
+    "hashed_ngram_quality",  # fastText-style hashed-bigram classifier, no exchange (r5 s7)
+    "returned_item_ranking",  # TPC-H Q10 shape: join + broadcast dim + exact top-k (r5 s7)
 ]
 HEADLINE = "ocr_correct"
 

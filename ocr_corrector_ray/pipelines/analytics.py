@@ -2359,3 +2359,204 @@ def pca_embeddings(sf_dir: str, k: int = 4):
         return out
 
     return ds.map_batches(project, batch_format="numpy")
+
+
+def order_priority_counts(sf_dir: str, num_buckets: int | None = None):
+    """o_orderpriority, order_count: per-priority count of orders with at
+    least one LATE-shipped lineitem (l_shipdate > o_orderdate) — TPC-H
+    Q4's shape: a distributed EXISTS semi-join whose predicate mixes an
+    EQUALITY key (orderkey, routed by the bucket exchange) with an
+    INEQUALITY (shipdate vs orderdate, evaluated per bucket after the
+    key merge).  Completes the join family with the inequality-EXISTS
+    variant (inner / broadcast / as-of / anti / semi / range / salted /
+    left-outer already exist).
+
+    Scale shape: the EXISTS only needs each order's MAX shipdate, so the
+    lineitem side pre-reduces to one (orderkey, max_shipdate) row per
+    key per batch — the in-batch combiner — and the exchange never
+    carries raw lineitems; the per-bucket finish re-reduces the max,
+    merges against orders (one row per key: orderkey is the orders PK)
+    and emits ≤ |priorities| partial-count rows per bucket, so the final
+    priority aggregate is tiny.  Dates travel as int64 microseconds —
+    both sides emit one identical non-null schema, so no null-typed
+    Arrow columns can split hash-shuffle groups."""
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+
+    num_buckets = num_buckets or default_num_buckets()
+    orders = ray.data.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    items = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"]
+    )
+    casts = {"priority": pa.string()}
+
+    def tag_orders(df: pd.DataFrame):
+        keys = df["o_orderkey"].to_numpy(dtype="int64")
+        return arrow_out(pd.DataFrame({
+            "key": keys,
+            "bucket": (keys % num_buckets).astype("int32"),
+            "priority": df["o_orderpriority"].to_numpy(),
+            "odate": df["o_orderdate"].to_numpy(dtype="datetime64[us]").astype("int64"),
+            "sdate": np.zeros(len(df), dtype="int64"),
+            "side": "o",
+        }), null_casts=casts)
+
+    def tag_items(df: pd.DataFrame):
+        # combiner: the EXISTS(l_shipdate > o_orderdate) only depends on
+        # max(l_shipdate), so ship one row per orderkey per batch
+        g = (
+            pd.DataFrame({
+                "key": df["l_orderkey"].to_numpy(dtype="int64"),
+                "sdate": df["l_shipdate"].to_numpy(dtype="datetime64[us]").astype("int64"),
+            })
+            .groupby("key", as_index=False)["sdate"].max()
+        )
+        keys = g["key"].to_numpy(dtype="int64")
+        return arrow_out(pd.DataFrame({
+            "key": keys,
+            "bucket": (keys % num_buckets).astype("int32"),
+            "priority": pd.Series([None] * len(g), dtype="object"),
+            "odate": np.zeros(len(g), dtype="int64"),
+            "sdate": g["sdate"].to_numpy(dtype="int64"),
+            "side": "l",
+        }), null_casts=casts)
+
+    both = orders.map_batches(tag_orders, batch_format="pandas").union(
+        items.map_batches(tag_items, batch_format="pandas")
+    )
+
+    def exists_bucket(df: pd.DataFrame):
+        o = df[df["side"] == "o"][["key", "priority", "odate"]]
+        l = (
+            df[df["side"] == "l"]
+            .groupby("key", as_index=False)["sdate"].max()
+        )
+        m = o.merge(l, on="key", how="inner")
+        late = m[m["sdate"] > m["odate"]]
+        part = late.groupby("priority", as_index=False).agg(
+            order_count=("key", "size")
+        )
+        return arrow_out(pd.DataFrame({
+            "o_orderpriority": part["priority"],
+            "order_count": part["order_count"].astype("int64"),
+        }), null_casts={"o_orderpriority": pa.string()})
+
+    partials = both.groupby(
+        "bucket", num_partitions=physical_partitions(num_buckets)
+    ).map_groups(exists_bucket, batch_format="pandas")
+    final = partials.groupby("o_orderpriority").aggregate(
+        Sum("order_count", alias_name="order_count")
+    )
+    return final.map_batches(
+        lambda df: arrow_out(df.assign(order_count=df["order_count"].astype("int64"))),
+        batch_format="pandas",
+    )
+
+
+def returned_item_ranking(sf_dir: str, k: int = 20, num_buckets: int | None = None):
+    """c_custkey, c_name, c_acctbal, revenue: top-k customers by revenue
+    lost to RETURNED items — TPC-H Q10's shape: lineitem(l_returnflag =
+    'R') ⋈ orders on orderkey (both large: union-tag partitioned hash
+    join), re-keyed to custkey for the revenue aggregate, then the small
+    customer dimension attached by broadcast and the global top-k taken.
+
+    Scale shape: the returnflag predicate is PUSHED DOWN into the
+    parquet read (row-group pruning); the per-bucket merge pre-reduces
+    to (custkey, partial revenue) — the combiner — so the second
+    exchange carries at most one row per custkey per bucket; the
+    custkey aggregate's per-partition finish takes an EXACT top-k
+    prefilter (each custkey lives wholly in one hash partition), so the
+    driver-side sort sees ≤ P·k winner rows; customer attaches via
+    ``ray.put`` once, never shuffled."""
+    from ._agg import grouped_agg
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+
+    num_buckets = num_buckets or default_num_buckets()
+    items = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_returnflag") == "R"),
+    )
+    orders = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    )
+
+    def tag_orders(df: pd.DataFrame):
+        keys = df["o_orderkey"].to_numpy(dtype="int64")
+        return arrow_out(pd.DataFrame({
+            "key": keys,
+            "bucket": (keys % num_buckets).astype("int32"),
+            "custkey": df["o_custkey"].to_numpy(dtype="int64"),
+            "revenue": np.full(len(df), np.nan),
+            "side": "o",
+        }))
+
+    def tag_items(df: pd.DataFrame):
+        keys = df["l_orderkey"].to_numpy(dtype="int64")
+        return arrow_out(pd.DataFrame({
+            "key": keys,
+            "bucket": (keys % num_buckets).astype("int32"),
+            "custkey": np.zeros(len(df), dtype="int64"),
+            "revenue": (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy(),
+            "side": "l",
+        }))
+
+    both = orders.map_batches(tag_orders, batch_format="pandas").union(
+        items.map_batches(tag_items, batch_format="pandas")
+    )
+
+    def join_bucket(df: pd.DataFrame):
+        o = df[df["side"] == "o"][["key", "custkey"]]
+        l = df[df["side"] == "l"][["key", "revenue"]]
+        merged = l.merge(o, on="key", how="inner")
+        part = merged.groupby("custkey", as_index=False).agg(
+            revenue=("revenue", "sum")
+        )
+        return arrow_out(pd.DataFrame({
+            "c_custkey": part["custkey"].astype("int64"),
+            "revenue": part["revenue"],
+        }))
+
+    partials = both.groupby(
+        "bucket", num_partitions=physical_partitions(num_buckets)
+    ).map_groups(join_bucket, batch_format="pandas")
+
+    def topk_finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(revenue=df["revenue"].round(2))
+        return df.sort_values(
+            ["revenue", "c_custkey"], ascending=[False, True]
+        ).head(k)
+
+    totals = grouped_agg(
+        partials, ["c_custkey"], {"revenue": ("revenue", "sum")},
+        finish_fn=topk_finish,
+    )
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    dim_ref = ray.put({
+        int(key): (name, bal)
+        for key, name, bal in zip(
+            cust.column("c_custkey").to_pylist(),
+            cust.column("c_name").to_pylist(),
+            cust.column("c_acctbal").to_pylist(),
+        )
+    })
+
+    def attach_dim(df: pd.DataFrame) -> pd.DataFrame:
+        dim = ray.get(dim_ref)
+        looked = df["c_custkey"].map(dim)
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"].astype("int64"),
+            "c_name": looked.str[0],
+            "c_acctbal": looked.str[1],
+            "revenue": df["revenue"],
+        })
+
+    named = totals.map_batches(attach_dim, batch_format="pandas")
+    return named.sort(["revenue", "c_custkey"], descending=[True, False]).limit(k)

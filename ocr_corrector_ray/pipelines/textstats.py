@@ -1902,3 +1902,56 @@ def stupid_backoff_xent(sf_dir: str, min_count: int = 30, alpha: float = 0.4,
         })
 
     return body.union(ds.map_batches(empties, batch_format="pandas"))
+
+
+def hashed_ngram_quality(sf_dir: str, num_feat: int = 2048):
+    """doc_id, n_grams, score, keep: fastText-style linear quality
+    classifier over hashed token-bigram features (Joulin et al. 2016,
+    "Bag of Tricks for Efficient Text Classification" — the quality
+    filter CCNet and the LLaMA data pipeline score documents with):
+    ``score = mean over gram positions of w[hash64(gram) % num_feat]``
+    and ``keep = score > 0``.  With no trained checkpoint available in
+    this sandbox, the weight vector is derived DETERMINISTICALLY from
+    the bucket index (a Knuth multiplicative hash mapped to [-1, 1)) so
+    the whole operator — feature hashing, lookup, reduction, decision —
+    is self-contained and fully SQL-checkable; a real model drops in by
+    replacing ``_weights`` with a loaded vector (the dataflow is
+    identical: the vector rides into each actor, never per batch).
+
+    Scale shape: embarrassingly parallel — one pruned read, one
+    map_batches, NO exchange; the gram kernel is the shared
+    ``_gram_positions`` + ``hash64_array`` pair (same md5 idiom as
+    ``decontaminate_docs`` / ``dsir_importance_weights``), the lookup +
+    per-doc reduction is two ``np.bincount`` calls; the weight table is
+    num_feat float64s computed once per actor in ``__init__``."""
+
+    def _weights(n: int) -> np.ndarray:
+        b = np.arange(n, dtype=np.int64)
+        return ((b * 2654435761) % (2 * n)) / float(n) - 1.0
+
+    class Score:
+        def __init__(self):
+            self.w = _weights(num_feat)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            n = len(df)
+            doc_of, grams = _gram_positions(df, 2)
+            if len(grams):
+                bkt = (hash64_array(list(grams)) % np.uint64(num_feat)).astype("int64")
+                s = np.bincount(doc_of, weights=self.w[bkt], minlength=n)
+                n_grams = np.bincount(doc_of, minlength=n)
+            else:
+                s = np.zeros(n, dtype=np.float64)
+                n_grams = np.zeros(n, dtype=np.int64)
+            mean = np.divide(s, n_grams, out=np.zeros(n, dtype=np.float64),
+                             where=n_grams > 0)
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(dtype="int64"),
+                "n_grams": n_grams.astype("int64"),
+                "score": np.floor(mean * 10000) / 10000,
+                "keep": mean > 0.0,
+            })
+
+    return ray.data.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(Score, batch_format="pandas", concurrency=(1, 8))
