@@ -379,6 +379,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hashed_ngram_quality": textstats.hashed_ngram_quality,
         "order_priority_counts": analytics.order_priority_counts,
         "returned_item_ranking": analytics.returned_item_ranking,
+        # per-group top-k window (k>1), embedding-space outlier signal
+        # (within-cluster centroid distance), and LAG over an aggregated
+        # monthly series (resample + window composition)
+        "top_docs_per_source": analytics.top_docs_per_source,
+        "embedding_centroid_dist": analytics.embedding_centroid_dist,
+        "orders_monthly_growth": analytics.orders_monthly_growth,
         # rows-only by nature
         # max-munch segmentation: pytest-pinned.  vocab_top=16 < the
         # synthetic corpus's 31-word vocabulary so the driver row shows
@@ -1635,5 +1641,34 @@ def oracle_sql() -> dict[str, str]:
             FROM rev JOIN customer c USING (c_custkey)
             ORDER BY rev.revenue DESC, c.c_custkey
             LIMIT 20
+        """,
+        # per-group top-k window: the k longest docs of every source
+        "top_docs_per_source": """
+            SELECT doc_id, source, n_chars FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 5
+        """,
+        # within-label centroid distance over the embedding table
+        "embedding_centroid_dist": """
+            WITH e AS (
+                SELECT vec_id, label, i AS dim,
+                       CAST(embedding[i] AS DOUBLE) AS v
+                FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+            c AS (SELECT label, dim, avg(v) AS cv FROM e GROUP BY 1, 2),
+            d AS (SELECT e.vec_id, e.label,
+                         sqrt(sum((e.v - c.cv) * (e.v - c.cv))) AS dist
+                  FROM e JOIN c ON e.label = c.label AND e.dim = c.dim
+                  GROUP BY 1, 2)
+            SELECT vec_id, label, floor(dist * 10000) / 10000 AS dist FROM d
+        """,
+        # LAG over an aggregated monthly revenue series
+        "orders_monthly_growth": """
+            WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                              round(sum(o_totalprice), 2) AS revenue
+                       FROM orders GROUP BY 1)
+            SELECT month, revenue,
+                   coalesce(round(revenue / lag(revenue)
+                                  OVER (ORDER BY month) - 1, 6), 0.0) AS growth
+            FROM m
         """,
     }

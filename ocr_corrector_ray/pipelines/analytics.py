@@ -2560,3 +2560,132 @@ def returned_item_ranking(sf_dir: str, k: int = 20, num_buckets: int | None = No
 
     named = totals.map_batches(attach_dim, batch_format="pandas")
     return named.sort(["revenue", "c_custkey"], descending=[True, False]).limit(k)
+
+
+def top_docs_per_source(sf_dir: str, k: int = 5, num_buckets: int | None = None):
+    """doc_id, source, n_chars: the k longest documents of EVERY source —
+    per-group top-k (row_number window, k > 1; the argmax operator
+    ``top_user_per_event_type`` is the k = 1 special case).  Ties break
+    on doc_id so the selection is deterministic.
+
+    Scale shape: per-batch per-source head(k) is the in-batch combiner
+    (the global per-source top-k is a subset of the union of per-batch
+    top-ks), so the exchange carries ≤ k rows per source per batch;
+    each source then lives wholly in one hash bucket, where a single
+    vectorized sort + groupby-head finishes exactly."""
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+
+    num_buckets = num_buckets or default_num_buckets()
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "source", "n_chars"]
+    )
+
+    def prefilter(df: pd.DataFrame):
+        g = df.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).groupby("source", sort=False).head(k)
+        h = pd.util.hash_pandas_object(g["source"], index=False)
+        return arrow_out(g.assign(bucket=(h % num_buckets).astype("int32")))
+
+    def finish(df: pd.DataFrame):
+        g = df.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).groupby("source", sort=False).head(k)
+        return arrow_out(pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "source": g["source"],
+            "n_chars": g["n_chars"].astype("int64"),
+        }))
+
+    return ds.map_batches(prefilter, batch_format="pandas").groupby(
+        "bucket", num_partitions=physical_partitions(num_buckets)
+    ).map_groups(finish, batch_format="pandas")
+
+
+def embedding_centroid_dist(sf_dir: str):
+    """vec_id, label, dist: each vector's Euclidean distance to ITS
+    LABEL's centroid — the embedding-space outlier signal a curation
+    pipeline thresholds to prune mislabeled / off-distribution examples
+    (the within-cluster half of SemDeDup's prune rule: far-from-centroid
+    = outlier, near-duplicate-of-neighbor = redundant).
+
+    Scale shape: two passes, mirroring ``quality_zscore_by_lang`` lifted
+    to vectors — pass 1 streams per-batch per-label (count, sum-vector)
+    moment partials to the driver (bounded by |labels| × dim, never by
+    corpus size), pass 2 broadcasts the labels-sized centroid matrix
+    once via ``ray.put`` and computes all distances in one vectorized
+    numpy expression per batch.  Elements are cast float32→float64
+    BEFORE summing, matching the SQL mirror's CAST."""
+    path = _p(sf_dir, "embeddings")
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding", "label"])
+
+    def moment_partial(batch: dict) -> dict:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+        labels = np.asarray(batch["label"], dtype=np.int64)
+        uniq = np.unique(labels)
+        return {
+            "label": uniq,
+            "n": np.array([(labels == u).sum() for u in uniq], dtype=np.int64),
+            "s": [V[labels == u].sum(axis=0).tobytes() for u in uniq],
+        }
+
+    sums: dict[int, np.ndarray] = {}
+    counts: dict[int, int] = {}
+    for part in ds.map_batches(moment_partial, batch_format="numpy").iter_batches(
+        batch_format="pandas"
+    ):
+        for label, n, s in zip(part["label"], part["n"], part["s"]):
+            vec = np.frombuffer(s, dtype=np.float64)
+            if int(label) in sums:
+                sums[int(label)] = sums[int(label)] + vec
+                counts[int(label)] += int(n)
+            else:
+                sums[int(label)] = vec.copy()
+                counts[int(label)] = int(n)
+    centroids = {lab: sums[lab] / counts[lab] for lab in sums}
+    cent_ref = ray.put(centroids)
+
+    def dist(batch: dict) -> dict:
+        cent = ray.get(cent_ref)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+        labels = np.asarray(batch["label"], dtype=np.int64)
+        C = np.stack([cent[int(lab)] for lab in labels])
+        d = np.sqrt(((V - C) ** 2).sum(axis=1))
+        return {
+            "vec_id": np.asarray(batch["vec_id"], dtype=np.int64),
+            "label": labels,
+            "dist": np.floor(d * 10000) / 10000,
+        }
+
+    return ds.map_batches(dist, batch_format="numpy")
+
+
+def orders_monthly_growth(sf_dir: str, num_buckets: int | None = None):
+    """month, revenue, growth: monthly order revenue with month-over-month
+    relative growth (LAG over an AGGREGATED time series — the resample +
+    window composition; ``user_value_delta`` is LAG over raw rows).
+    First month's growth is 0 by convention.
+
+    Scale shape: per-batch per-month revenue partials are the in-batch
+    combiner (≤ |months| rows per batch — bounded by the calendar, not
+    the corpus), the driver reduces the months-sized series and computes
+    the LAG locally: the window runs over OUTPUT-sized data only, the
+    order table itself never lands anywhere."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "month": df["o_orderdate"].dt.strftime("%Y-%m"),
+            "revenue": df["o_totalprice"],
+        }).groupby("month", as_index=False)["revenue"].sum()
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    m = parts.groupby("month", as_index=False)["revenue"].sum().sort_values(
+        "month", ignore_index=True
+    )
+    m["revenue"] = m["revenue"].round(2)
+    m["growth"] = (m["revenue"] / m["revenue"].shift(1) - 1).fillna(0.0).round(6)
+    return pa.Table.from_pandas(m, preserve_index=False)
