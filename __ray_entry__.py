@@ -385,6 +385,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_source": analytics.top_docs_per_source,
         "embedding_centroid_dist": analytics.embedding_centroid_dist,
         "orders_monthly_growth": analytics.orders_monthly_growth,
+        # calendar-keyed anomaly z-scores, the corpus Zipf exponent
+        # (distributed top-V + driver-side log-log fit), and the
+        # per-source corpus report card (one grouped pass)
+        "events_anomaly_hours": analytics.events_anomaly_hours,
+        "token_zipf_alpha": analytics.token_zipf_alpha,
+        "source_quality_report": analytics.source_quality_report,
         # rows-only by nature
         # max-munch segmentation: pytest-pinned.  vocab_top=16 < the
         # synthetic corpus's 31-word vocabulary so the driver row shows
@@ -1670,5 +1676,49 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(round(revenue / lag(revenue)
                                   OVER (ORDER BY month) - 1, 6), 0.0) AS growth
             FROM m
+        """,
+        # calendar-keyed anomaly: (day, hour) counts z-scored against the
+        # same hour-of-day's across-day distribution (population moments)
+        "events_anomaly_hours": """
+            WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                              CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+                              CAST(count(*) AS BIGINT) AS n_events
+                       FROM events GROUP BY 1, 2),
+            m AS (SELECT hour, count(*) AS nd,
+                         sum(CAST(n_events AS DOUBLE)) AS s1,
+                         sum(CAST(n_events AS DOUBLE) * n_events) AS s2
+                  FROM c GROUP BY 1)
+            SELECT c.day, c.hour, c.n_events,
+                   CASE WHEN (m.s2 - m.s1 * m.s1 / m.nd) / m.nd > 0
+                        THEN round((c.n_events - m.s1 / m.nd)
+                                   / sqrt((m.s2 - m.s1 * m.s1 / m.nd) / m.nd), 6)
+                        ELSE 0.0 END AS zscore
+            FROM c JOIN m USING (hour)
+        """,
+        # Zipf exponent over the top-1000 tokens: -slope of ln(freq) on
+        # ln(rank) (regr_slope = covar_pop/var_pop, the same least-squares
+        # fit the Ray side computes)
+        "token_zipf_alpha": r"""
+            WITH tk AS (
+                SELECT regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            uni AS (SELECT unnest(t) AS tok FROM tk),
+            uc AS (SELECT tok, count(*) AS n FROM uni GROUP BY tok),
+            r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+                  FROM uc QUALIFY rank <= 1000)
+            SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+                   coalesce(round(-regr_slope(ln(CAST(n AS DOUBLE)),
+                                              ln(CAST(rank AS DOUBLE))), 6),
+                            0.0) AS alpha
+            FROM r
+        """,
+        # per-source corpus report card
+        "source_quality_report": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents GROUP BY source
         """,
     }

@@ -2689,3 +2689,136 @@ def orders_monthly_growth(sf_dir: str, num_buckets: int | None = None):
     m["revenue"] = m["revenue"].round(2)
     m["growth"] = (m["revenue"] / m["revenue"].shift(1) - 1).fillna(0.0).round(6)
     return pa.Table.from_pandas(m, preserve_index=False)
+
+
+def events_anomaly_hours(sf_dir: str):
+    """day, hour, n_events, zscore: each (day, hour) bucket's event count
+    z-scored against the SAME HOUR-OF-DAY's distribution across all days
+    — calendar-keyed anomaly detection (the "is this 3am spike unusual
+    for 3am" monitor a streaming ingest pipeline runs over its own
+    volume).  Hours whose across-day variance is zero score 0.
+
+    Scale shape: per-batch (day, hour) count partials are the in-batch
+    combiner (≤ |day×hour| rows per batch — bounded by the calendar,
+    never the corpus); the driver reduces the calendar-sized series and
+    computes the per-hour moments locally with the same explicit
+    (sumsq - sum²/n)/n formula the SQL mirror uses.  The events table
+    itself never lands anywhere."""
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": df["ts"].dt.strftime("%Y-%m-%d"),
+            "hour": df["ts"].dt.hour.astype("int64"),
+        }).groupby(["day", "hour"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    c = parts.groupby(["day", "hour"], as_index=False)["n"].sum()
+    c["n2"] = c["n"].astype("float64") ** 2
+    m = c.groupby("hour").agg(
+        nd=("n", "size"), s1=("n", "sum"), s2=("n2", "sum")
+    )
+    mu = m["s1"] / m["nd"]
+    var = (m["s2"] - m["s1"].astype("float64") ** 2 / m["nd"]) / m["nd"]
+    sd = np.sqrt(var.clip(lower=0.0))
+    z = np.where(
+        var.loc[c["hour"]].to_numpy() > 0,
+        (c["n"].to_numpy() - mu.loc[c["hour"]].to_numpy())
+        / sd.loc[c["hour"]].to_numpy(),
+        0.0,
+    )
+    return pa.Table.from_pandas(pd.DataFrame({
+        "day": c["day"],
+        "hour": c["hour"].astype("int64"),
+        "n_events": c["n"].astype("int64"),
+        "zscore": np.round(z, 6),
+    }), preserve_index=False)
+
+
+def token_zipf_alpha(sf_dir: str, top_v: int = 1000, num_buckets: int | None = None):
+    """n_vocab, alpha: the corpus's Zipf exponent — the slope of
+    log(frequency) on log(rank) over the ``top_v`` most frequent tokens
+    (freq ∝ rank^-alpha).  A corpus-health scalar: natural text sits
+    near alpha ≈ 1; boilerplate-heavy or template-generated corpora
+    drift far from it, so training pipelines track it per crawl batch.
+
+    Scale shape: token counting is the ngram_topk exchange (in-batch
+    value_counts combiner, coarse-bucket grouped sum); each token's
+    total lives wholly in one hash partition, so the per-partition
+    head(top_v) is an EXACT global pre-filter and the driver-side rank +
+    least-squares fit run over ≤ P·top_v rows — never the full
+    vocabulary (billions of distinct tokens at corpus scale)."""
+    from ._agg import grouped_agg
+
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["text"])
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].fillna("").str.split().explode().dropna().value_counts()
+        return pd.DataFrame({
+            "tok": vc.index, "n": vc.to_numpy(dtype="int64")
+        })
+
+    winners = grouped_agg(
+        ds.map_batches(partial_counts, batch_format="pandas"),
+        ["tok"], {"n": ("n", "sum")},
+        finish_fn=lambda g: g.sort_values(
+            ["n", "tok"], ascending=[False, True]
+        ).head(top_v),
+    ).to_pandas()
+    top = winners.sort_values(["n", "tok"], ascending=[False, True],
+                              ignore_index=True).head(top_v)
+    v = len(top)
+    if v < 2:
+        alpha = 0.0
+    else:
+        x = np.log(np.arange(1, v + 1, dtype=np.float64))
+        y = np.log(top["n"].to_numpy(dtype=np.float64))
+        slope = ((v * (x * y).sum() - x.sum() * y.sum())
+                 / (v * (x * x).sum() - x.sum() ** 2))
+        alpha = float(np.round(-slope, 6))
+    return pa.Table.from_pandas(pd.DataFrame({
+        "n_vocab": pd.Series([v], dtype="int64"),
+        "alpha": pd.Series([alpha], dtype="float64"),
+    }), preserve_index=False)
+
+
+def source_quality_report(sf_dir: str, num_buckets: int | None = None):
+    """source, n_docs, avg_chars, max_chars, n_langs: the per-source
+    corpus report card — document count, mean/max length and language
+    spread in ONE grouped pass (the summary table a curation run emits
+    per crawl source before deciding quotas).
+
+    Scale shape: per-batch (source, lang) partials (count / sum / max —
+    all mergeable) are the in-batch combiner, one coarse-bucket
+    grouped_agg merges them, and the driver finishes over the
+    (sources × langs)-sized result — bounded by the source catalog,
+    never the corpus."""
+    from ._agg import grouped_agg
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "documents"), columns=["source", "lang", "n_chars"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["source", "lang"], as_index=False).agg(
+            n=("n_chars", "size"), s=("n_chars", "sum"), mx=("n_chars", "max")
+        )
+
+    parts = grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["source", "lang"],
+        {"n": ("n", "sum"), "s": ("s", "sum"), "mx": ("mx", "max")},
+    ).to_pandas()
+    rep = parts.groupby("source").agg(
+        n_docs=("n", "sum"), s=("s", "sum"), max_chars=("mx", "max"),
+        n_langs=("lang", "size"),
+    ).reset_index()
+    return pa.Table.from_pandas(pd.DataFrame({
+        "source": rep["source"],
+        "n_docs": rep["n_docs"].astype("int64"),
+        "avg_chars": (rep["s"].astype("float64") / rep["n_docs"]).round(4),
+        "max_chars": rep["max_chars"].astype("int64"),
+        "n_langs": rep["n_langs"].astype("int64"),
+    }), preserve_index=False)
