@@ -391,6 +391,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomaly_hours": analytics.events_anomaly_hours,
         "token_zipf_alpha": analytics.token_zipf_alpha,
         "source_quality_report": analytics.source_quality_report,
+        # deterministic Efraimidis–Spirakis weighted sample and the
+        # three-source cogroup (dimension + two pre-aggregated facts in
+        # one tagged exchange, LEFT-JOIN semantics)
+        "weighted_sample_docs": analytics.weighted_sample_docs,
+        "customer_activity_summary": analytics.customer_activity_summary,
         # rows-only by nature
         # max-munch segmentation: pytest-pinned.  vocab_top=16 < the
         # synthetic corpus's 31-word vocabulary so the driver row shows
@@ -1720,5 +1725,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(n_chars) AS BIGINT) AS max_chars,
                    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
             FROM documents GROUP BY source
+        """,
+        # Efraimidis–Spirakis A-ES weighted sample, u from the shared md5
+        # idiom: rank by ln(u)/w (same order as u^(1/w)), top-k wins
+        "weighted_sample_docs": """
+            WITH s AS (
+                SELECT doc_id, n_chars,
+                       ln(md5_number_lower(CAST(doc_id AS VARCHAR))
+                          / 18446744073709551616.0) / n_chars AS key
+                FROM documents WHERE n_chars > 0)
+            SELECT doc_id, n_chars FROM s
+            ORDER BY key DESC, doc_id LIMIT 100
+        """,
+        # three-source cogroup: customer dim + per-key order/event facts
+        "customer_activity_summary": """
+            SELECT c.c_custkey, c.c_name,
+                   coalesce(o.n_orders, 0) AS n_orders,
+                   coalesce(o.total_spend, 0.0) AS total_spend,
+                   coalesce(e.n_events, 0) AS n_events,
+                   e.last_event_ts
+            FROM customer c
+            LEFT JOIN (SELECT o_custkey,
+                              CAST(count(*) AS BIGINT) AS n_orders,
+                              round(sum(o_totalprice), 2) AS total_spend
+                       FROM orders GROUP BY 1) o
+              ON o.o_custkey = c.c_custkey
+            LEFT JOIN (SELECT user_id,
+                              CAST(count(*) AS BIGINT) AS n_events,
+                              max(ts) AS last_event_ts
+                       FROM events GROUP BY 1) e
+              ON e.user_id = c.c_custkey
         """,
     }

@@ -2822,3 +2822,134 @@ def source_quality_report(sf_dir: str, num_buckets: int | None = None):
         "max_chars": rep["max_chars"].astype("int64"),
         "n_langs": rep["n_langs"].astype("int64"),
     }), preserve_index=False)
+
+
+def weighted_sample_docs(sf_dir: str, k: int = 100):
+    """doc_id, n_chars: a deterministic weighted sample WITHOUT
+    replacement of k documents, sampling probability proportional to
+    length — the Efraimidis–Spirakis A-ES scheme (each item ranked by
+    ln(u)/w for u ∈ (0,1), top-k wins), with u derived from the shared
+    md5 item hash instead of an RNG so the draw is reproducible across
+    runs/partitionings AND fully SQL-checkable.  The weighted analogue
+    of ``doc_sample`` (training pipelines sample proportional to
+    quality/length when building mixtures).
+
+    Scale shape: embarrassingly parallel scoring + per-batch head(k)
+    (the combiner: the global top-k is a subset of the union of
+    per-batch top-ks), so the final sort sees ≤ k rows per batch —
+    never the corpus."""
+    from ._util import arrow_out
+
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "documents"), columns=["doc_id", "n_chars"]
+    )
+
+    def score_topk(df: pd.DataFrame):
+        from ..functions.hashing import hash64_array
+
+        df = df[df["n_chars"] > 0]
+        h = hash64_array([str(i) for i in df["doc_id"]])
+        u = h.astype(np.float64) / 18446744073709551616.0
+        key = np.log(u) / df["n_chars"].to_numpy(dtype=np.float64)
+        g = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(dtype="int64"),
+            "n_chars": df["n_chars"].to_numpy(dtype="int64"),
+            "key": key,
+        }).sort_values(["key", "doc_id"], ascending=[False, True]).head(k)
+        return arrow_out(g)
+
+    return (
+        ds.map_batches(score_topk, batch_format="pandas")
+        .sort(["key", "doc_id"], descending=[True, False])
+        .limit(k)
+        .drop_columns(["key"])
+    )
+
+
+def customer_activity_summary(sf_dir: str, num_buckets: int | None = None):
+    """c_custkey, c_name, n_orders, total_spend, n_events, last_event_ts:
+    a THREE-source cogroup on the shared customer key — the orders fact
+    and the events fact each pre-aggregated per key, stitched to the
+    customer dimension with LEFT-JOIN semantics (customers with no
+    orders / no events keep zeros / NULL) in ONE tagged union exchange.
+
+    Scale shape: both facts carry in-batch per-key combiners (count /
+    sum / max — all mergeable), so the exchange moves at most one row
+    per key per batch per side; the dimension rides the same exchange
+    (no broadcast needed, covers an arbitrarily large dimension); the
+    per-bucket finish is two vectorized groupbys + two left merges."""
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+
+    num_buckets = num_buckets or default_num_buckets()
+    cust = ray.data.read_parquet(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    orders = ray.data.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    events = ray.data.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    casts = {"name": pa.string()}
+
+    def _frame(keys, name, n_ord, spend, n_ev, last_ts, side):
+        return arrow_out(pd.DataFrame({
+            "key": keys,
+            "bucket": (keys % num_buckets).astype("int32"),
+            "name": name,
+            "n_ord": n_ord,
+            "spend": spend,
+            "n_ev": n_ev,
+            "last_ts": last_ts,
+            "side": side,
+        }), null_casts=casts)
+
+    def tag_cust(df: pd.DataFrame):
+        keys = df["c_custkey"].to_numpy(dtype="int64")
+        z = np.zeros(len(df), dtype="int64")
+        return _frame(keys, df["c_name"].to_numpy(), z, z.astype("float64"),
+                      z, z, "c")
+
+    def tag_orders(df: pd.DataFrame):
+        g = df.groupby("o_custkey", as_index=False).agg(
+            n_ord=("o_totalprice", "size"), spend=("o_totalprice", "sum")
+        )
+        keys = g["o_custkey"].to_numpy(dtype="int64")
+        z = np.zeros(len(g), dtype="int64")
+        return _frame(keys, pd.Series([None] * len(g), dtype="object"),
+                      g["n_ord"].astype("int64"), g["spend"].astype("float64"),
+                      z, z, "o")
+
+    def tag_events(df: pd.DataFrame):
+        g = pd.DataFrame({
+            "key": df["user_id"].to_numpy(dtype="int64"),
+            "ts": df["ts"].to_numpy(dtype="datetime64[us]").astype("int64"),
+        }).groupby("key", as_index=False).agg(n_ev=("ts", "size"), last_ts=("ts", "max"))
+        keys = g["key"].to_numpy(dtype="int64")
+        z = np.zeros(len(g), dtype="int64")
+        return _frame(keys, pd.Series([None] * len(g), dtype="object"),
+                      z, z.astype("float64"),
+                      g["n_ev"].astype("int64"), g["last_ts"].astype("int64"), "e")
+
+    union = (
+        cust.map_batches(tag_cust, batch_format="pandas")
+        .union(orders.map_batches(tag_orders, batch_format="pandas"))
+        .union(events.map_batches(tag_events, batch_format="pandas"))
+    )
+
+    def cogroup(df: pd.DataFrame):
+        c = df[df["side"] == "c"][["key", "name"]]
+        o = df[df["side"] == "o"].groupby("key").agg(
+            n_orders=("n_ord", "sum"), total_spend=("spend", "sum"))
+        e = df[df["side"] == "e"].groupby("key").agg(
+            n_events=("n_ev", "sum"), last=("last_ts", "max"))
+        m = c.merge(o, left_on="key", right_index=True, how="left").merge(
+            e, left_on="key", right_index=True, how="left")
+        return arrow_out(pd.DataFrame({
+            "c_custkey": m["key"].astype("int64"),
+            "c_name": m["name"],
+            "n_orders": m["n_orders"].fillna(0).astype("int64"),
+            "total_spend": m["total_spend"].fillna(0.0).round(2),
+            "n_events": m["n_events"].fillna(0).astype("int64"),
+            "last_event_ts": pd.to_datetime(
+                m["last"], unit="us").astype("datetime64[us]"),
+        }), null_casts={"c_name": pa.string(),
+                        "last_event_ts": pa.timestamp("us")})
+
+    return union.groupby(
+        "bucket", num_partitions=physical_partitions(num_buckets)
+    ).map_groups(cogroup, batch_format="pandas")
