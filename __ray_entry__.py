@@ -396,6 +396,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one tagged exchange, LEFT-JOIN semantics)
         "weighted_sample_docs": analytics.weighted_sample_docs,
         "customer_activity_summary": analytics.customer_activity_summary,
+        # cross-crawl contamination matrix and train/valid KS drift check
+        "cross_source_overlap": analytics.cross_source_overlap,
+        "ks_drift_stats": analytics.ks_drift_stats,
         # rows-only by nature
         # max-munch segmentation: pytest-pinned.  vocab_top=16 < the
         # synthetic corpus's 31-word vocabulary so the driver row shows
@@ -1755,5 +1758,42 @@ def oracle_sql() -> dict[str, str]:
                               max(ts) AS last_event_ts
                        FROM events GROUP BY 1) e
               ON e.user_id = c.c_custkey
+        """,
+        # cross-crawl contamination matrix: distinct token 5-grams shared
+        # by every source pair (a < b); the SQL joins gram strings where
+        # the Ray side joins their 64-bit hashes (same equivalence up to
+        # md5 collisions, the dedup_exact convention)
+        "cross_source_overlap": r"""
+            WITH tk AS (
+                SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE trim(coalesce(text, '')) <> ''),
+            g AS (SELECT DISTINCT source, array_to_string(t[i:i+4], ' ') AS g
+                  FROM tk, UNNEST(range(1, len(t) - 3)) AS u(i))
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+            GROUP BY 1, 2
+        """,
+        # Kolmogorov-Smirnov drift between the train/valid length
+        # distributions (split: doc_id % 10 < 8)
+        "ks_drift_stats": """
+            WITH d AS (SELECT n_chars AS v,
+                              CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END
+                                  AS is_tr
+                       FROM documents),
+            tot AS (SELECT CAST(sum(is_tr) AS DOUBLE) AS nt,
+                           CAST(sum(1 - is_tr) AS DOUBLE) AS nv
+                    FROM d),
+            c AS (SELECT v, sum(is_tr) AS ct, sum(1 - is_tr) AS cv
+                  FROM d GROUP BY v),
+            k AS (SELECT sum(ct) OVER (ORDER BY v) / (SELECT nt FROM tot)
+                             AS f1,
+                         sum(cv) OVER (ORDER BY v) / (SELECT nv FROM tot)
+                             AS f2
+                  FROM c)
+            SELECT (SELECT CAST(nt AS BIGINT) FROM tot) AS n_train,
+                   (SELECT CAST(nv AS BIGINT) FROM tot) AS n_valid,
+                   round(max(abs(f1 - f2)), 6) AS ks
+            FROM k
         """,
     }

@@ -2953,3 +2953,107 @@ def customer_activity_summary(sf_dir: str, num_buckets: int | None = None):
     return union.groupby(
         "bucket", num_partitions=physical_partitions(num_buckets)
     ).map_groups(cogroup, batch_format="pandas")
+
+
+def cross_source_overlap(sf_dir: str, n: int = 5, num_buckets: int | None = None):
+    """source_a, source_b, n_shared: for every pair of sources, how many
+    DISTINCT token ``n``-grams appear in both — the cross-crawl
+    contamination matrix a curation run reads before deciding which
+    source to dedup against which (a large off-diagonal cell means two
+    crawls share substantial boilerplate/content; whole-document overlap
+    is the degenerate case and is already covered per-doc by
+    ``dedup_exact`` — shingles are the unit real contamination shows up
+    at).
+
+    Scale shape: grams hash to 64-bit keys at the scan (the shared
+    ``_gram_positions`` + ``hash64_array`` idiom) and (hash, source)
+    pairs are batch-deduped — the combiner — so the exchange carries
+    fixed-size keys only; each hash lives wholly in one bucket, where
+    pair expansion is one self-merge bounded by |sources|² per hash; the
+    per-bucket partial pair counts (≤ |sources|² rows per bucket —
+    output-sized) merge on the driver, so no second exchange is
+    needed."""
+    from ..functions.hashing import hash64_array
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+    from .textstats import _gram_positions
+
+    num_buckets = num_buckets or default_num_buckets()
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["text", "source"])
+
+    def hash_pairs(df: pd.DataFrame):
+        doc_of, grams = _gram_positions(df, n)
+        if len(grams):
+            h = (hash64_array(list(grams)) >> np.uint64(1)).astype("int64")
+            src = df["source"].to_numpy()[doc_of]
+        else:
+            h = np.empty(0, dtype="int64")
+            src = np.empty(0, dtype=object)
+        g = pd.DataFrame({"f": h, "source": src}).drop_duplicates()
+        return arrow_out(
+            g.assign(bucket=(g["f"] % num_buckets).astype("int32")),
+            null_casts={"source": pa.string()},
+        )
+
+    def pairs_bucket(df: pd.DataFrame):
+        g = df[["f", "source"]].drop_duplicates()
+        m = g.merge(g, on="f", suffixes=("_a", "_b"))
+        m = m[m["source_a"] < m["source_b"]]
+        part = m.groupby(["source_a", "source_b"], as_index=False).agg(
+            n_shared=("f", "size"))
+        return arrow_out(pd.DataFrame({
+            "source_a": part["source_a"],
+            "source_b": part["source_b"],
+            "n_shared": part["n_shared"].astype("int64"),
+        }), null_casts={"source_a": pa.string(), "source_b": pa.string()})
+
+    partials = ds.map_batches(hash_pairs, batch_format="pandas").groupby(
+        "bucket", num_partitions=physical_partitions(num_buckets)
+    ).map_groups(pairs_bucket, batch_format="pandas").to_pandas()
+    if partials.empty or "source_a" not in partials.columns:
+        partials = pd.DataFrame({
+            "source_a": pd.Series([], dtype="object"),
+            "source_b": pd.Series([], dtype="object"),
+            "n_shared": pd.Series([], dtype="int64"),
+        })
+    rep = partials.groupby(["source_a", "source_b"], as_index=False).agg(
+        n_shared=("n_shared", "sum"))
+    return pa.Table.from_pandas(pd.DataFrame({
+        "source_a": rep["source_a"],
+        "source_b": rep["source_b"],
+        "n_shared": rep["n_shared"].astype("int64"),
+    }), preserve_index=False)
+
+
+def ks_drift_stats(sf_dir: str):
+    """n_train, n_valid, ks: the Kolmogorov–Smirnov statistic between the
+    train and valid splits' document-length distributions — the drift
+    check a pipeline runs to confirm a deterministic split didn't skew a
+    feature (and, run across crawl snapshots, that the corpus itself
+    hasn't drifted).  Split = ``doc_id % 10 < 8`` (train).
+
+    Scale shape: per-batch per-length count partials (two int columns
+    keyed by the length value — bounded by the distinct-length count,
+    never the corpus) merge on the driver, where the two CDFs and the
+    sup-gap are one vectorized cumsum over the lengths histogram."""
+    ds = ray.data.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        is_tr = (df["doc_id"] % 10 < 8).astype("int64")
+        g = pd.DataFrame({
+            "v": df["n_chars"].astype("int64"),
+            "ct": is_tr,
+            "cv": 1 - is_tr,
+        }).groupby("v", as_index=False).sum()
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    c = parts.groupby("v", as_index=False).sum().sort_values("v", ignore_index=True)
+    nt, nv = int(c["ct"].sum()), int(c["cv"].sum())
+    f1 = c["ct"].cumsum().to_numpy(dtype=np.float64) / nt
+    f2 = c["cv"].cumsum().to_numpy(dtype=np.float64) / nv
+    ks = float(np.round(np.abs(f1 - f2).max(), 6)) if len(c) else 0.0
+    return pa.Table.from_pandas(pd.DataFrame({
+        "n_train": pd.Series([nt], dtype="int64"),
+        "n_valid": pd.Series([nv], dtype="int64"),
+        "ks": pd.Series([ks], dtype="float64"),
+    }), preserve_index=False)
