@@ -105,6 +105,21 @@ _TAIL_ORACLED_OK = {
     # sixth r5 session additions (same evidence basis)
     "gopher_quality_docs",
     "stupid_backoff_xent",
+    # seventh r5 session additions (same evidence basis)
+    "hashed_ngram_quality",
+    "order_priority_counts",
+    "returned_item_ranking",
+    "top_docs_per_source",
+    "embedding_centroid_dist",
+    "orders_monthly_growth",
+    "events_anomaly_hours",
+    "token_zipf_alpha",
+    "source_quality_report",
+    "weighted_sample_docs",
+    "customer_activity_summary",
+    # eighth r5 session additions (same evidence basis)
+    "cross_source_overlap",
+    "ks_drift_stats",
 }
 
 
