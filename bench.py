@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "stupid_backoff_xent",  # pruned bigram LM w/ backoff, two bucketed attaches (r5 s6)
     "hashed_ngram_quality",  # fastText-style hashed-bigram classifier, no exchange (r5 s7)
     "returned_item_ranking",  # TPC-H Q10 shape: join + broadcast dim + exact top-k (r5 s7)
+    "cross_source_overlap",  # cross-crawl contamination matrix, one bucketed exchange (r5 s8)
 ]
 HEADLINE = "ocr_correct"
 
