@@ -399,6 +399,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-crawl contamination matrix and train/valid KS drift check
         "cross_source_overlap": analytics.cross_source_overlap,
         "ks_drift_stats": analytics.ks_drift_stats,
+        # semi-structured JSON field extraction (events.props) and the
+        # TPC-H Q6 pushdown-scan + scalar-aggregate shape
+        "event_props_stats": analytics.event_props_stats,
+        "revenue_forecast": analytics.revenue_forecast,
         # rows-only by nature
         # max-munch segmentation: pytest-pinned.  vocab_top=16 < the
         # synthetic corpus's 31-word vocabulary so the driver row shows
@@ -1795,5 +1799,27 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(nv AS BIGINT) FROM tot) AS n_valid,
                    round(max(abs(f1 - f2)), 6) AS ks
             FROM k
+        """,
+        # semi-structured extraction: aggregate over the integer `k`
+        # field of the JSON props column; coalesce-to-0 matches the Ray
+        # side's fillna(0) for a hypothetical all-null group
+        "event_props_stats": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   coalesce(CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                                 AS BIGINT), 0) AS sum_k,
+                   coalesce(CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
+                                 AS BIGINT), 0) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        # TPC-H Q6 shape: filter-pushdown scan + global scalar aggregate
+        "revenue_forecast": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
         """,
     }

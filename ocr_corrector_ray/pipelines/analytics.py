@@ -3057,3 +3057,95 @@ def ks_drift_stats(sf_dir: str):
         "n_valid": pd.Series([nv], dtype="int64"),
         "ks": pd.Series([ks], dtype="float64"),
     }), preserve_index=False)
+
+
+def event_props_stats(sf_dir: str):
+    """event_type, n_events, sum_k, max_k: aggregate over the integer
+    ``k`` field of the JSON side-data column ``events.props`` —
+    semi-structured extraction, the one column family the registry
+    didn't yet touch.  The field is pulled with ONE vectorized regex
+    pass per batch (``Series.str.extract`` runs in C over the whole
+    column; a per-row ``json.loads`` would be the per-row-Python
+    anti-pattern — at 100 TB the difference is the job).  Extraction is
+    null-safe: rows whose props lack ``k`` still count in ``n_events``
+    and drop out of sum/max, matching SQL aggregate NULL semantics.
+    The exchange then carries only (event_type, k) pairs — the JSON
+    bodies never leave the scan."""
+    from ._agg import grouped_agg
+
+    ds = ray.data.read_parquet(_p(sf_dir, "events"), columns=["event_type", "props"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        k = pd.to_numeric(
+            df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False),
+            errors="coerce",
+        )
+        return pd.DataFrame({"event_type": df["event_type"], "k": k})
+
+    agg = grouped_agg(
+        ds.map_batches(derive, batch_format="pandas"),
+        ["event_type"],
+        {
+            "n_events": ("k", "size"),
+            "sum_k": ("k", "sum"),
+            "max_k": ("k", "max"),
+        },
+    )
+
+    def finish(df: pd.DataFrame):
+        # match the oracle's coalesce(CAST(.. AS BIGINT), 0): an
+        # all-null group sums/maxes to NaN here and NULL there
+        from ._util import arrow_out
+
+        return arrow_out(
+            df.assign(
+                sum_k=df["sum_k"].fillna(0).astype("int64"),
+                max_k=df["max_k"].fillna(0).astype("int64"),
+            )
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def revenue_forecast(sf_dir: str):
+    """revenue, n_items (one row): TPC-H Q6's shape — a pure
+    filter-pushdown scan plus global scalar aggregate: what-if revenue
+    from discounted small-quantity 1997 lineitems.  All three predicates
+    ride into ``read_parquet(filter=...)`` so row groups that can't
+    match never leave storage, the three needed columns are the only
+    ones read, each batch reduces to a two-scalar partial, and the
+    driver merges #blocks partial rows — nothing corpus-sized crosses
+    an exchange and there is no shuffle at all."""
+    import datetime as _dt
+
+    flt = (
+        (pc.field("l_shipdate") >= _dt.datetime(1997, 1, 1))
+        & (pc.field("l_shipdate") < _dt.datetime(1998, 1, 1))
+        & (pc.field("l_discount") >= 0.05)
+        & (pc.field("l_discount") <= 0.07)
+        & (pc.field("l_quantity") < 24.0)
+    )
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+        filter=flt,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "revenue": [float((df["l_extendedprice"] * df["l_discount"]).sum())],
+                "n_items": [np.int64(len(df))],
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return pa.Table.from_pandas(
+        pd.DataFrame(
+            {
+                "revenue": pd.Series([round(float(parts["revenue"].sum()), 2)], dtype="float64"),
+                "n_items": pd.Series([int(parts["n_items"].sum())], dtype="int64"),
+            }
+        ),
+        preserve_index=False,
+    )

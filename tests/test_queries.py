@@ -120,6 +120,9 @@ _TAIL_ORACLED_OK = {
     # eighth r5 session additions (same evidence basis)
     "cross_source_overlap",
     "ks_drift_stats",
+    # ninth r5 session additions (same evidence basis)
+    "event_props_stats",
+    "revenue_forecast",
 }
 
 
