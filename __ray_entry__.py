@@ -403,6 +403,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q6 pushdown-scan + scalar-aggregate shape
         "event_props_stats": analytics.event_props_stats,
         "revenue_forecast": analytics.revenue_forecast,
+        # grouped OLS trend and the feature-correlation matrix — both
+        # mergeable-moments patterns (the exchange carries sufficient
+        # statistics, never rows)
+        "event_value_trend": analytics.event_value_trend,
+        "lineitem_correlations": analytics.lineitem_correlations,
         # rows-only by nature
         # max-munch segmentation: pytest-pinned.  vocab_top=16 < the
         # synthetic corpus's 31-word vocabulary so the driver row shows
@@ -1821,5 +1826,53 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1998-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        # grouped OLS: the oracle computes slope/intercept from the SAME
+        # raw-moment formula over the SAME fixed-origin x (hours since
+        # 2024-01-01), so both engines face identical conditioning
+        "event_value_trend": """
+            WITH d AS (
+                SELECT event_type,
+                       (epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 3600.0 AS x,
+                       value AS y
+                FROM events),
+            s AS (
+                SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x * x) AS sxx, sum(x * y) AS sxy
+                FROM d GROUP BY event_type)
+            SELECT event_type, n,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+                   round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+                         4) AS intercept
+            FROM s
+        """,
+        # feature-correlation matrix over the lineitem measures; corr()
+        # (Welford) vs the Ray side's raw moments agree at round(6) —
+        # the measures are O(1)-O(10^4) so cancellation is negligible
+        "lineitem_correlations": """
+            WITH pairs(col_a, col_b) AS (VALUES
+                ('l_quantity', 'l_extendedprice'),
+                ('l_quantity', 'l_discount'),
+                ('l_quantity', 'l_tax'),
+                ('l_extendedprice', 'l_discount'),
+                ('l_extendedprice', 'l_tax'),
+                ('l_discount', 'l_tax')),
+            c AS (SELECT count(*) AS n,
+                         corr(l_quantity, l_extendedprice) AS c_qe,
+                         corr(l_quantity, l_discount) AS c_qd,
+                         corr(l_quantity, l_tax) AS c_qt,
+                         corr(l_extendedprice, l_discount) AS c_ed,
+                         corr(l_extendedprice, l_tax) AS c_et,
+                         corr(l_discount, l_tax) AS c_dt
+                  FROM lineitem)
+            SELECT p.col_a, p.col_b, c.n,
+                   round(CASE
+                       WHEN p.col_a = 'l_quantity' AND p.col_b = 'l_extendedprice' THEN c_qe
+                       WHEN p.col_a = 'l_quantity' AND p.col_b = 'l_discount' THEN c_qd
+                       WHEN p.col_a = 'l_quantity' AND p.col_b = 'l_tax' THEN c_qt
+                       WHEN p.col_a = 'l_extendedprice' AND p.col_b = 'l_discount' THEN c_ed
+                       WHEN p.col_a = 'l_extendedprice' AND p.col_b = 'l_tax' THEN c_et
+                       ELSE c_dt END, 6) AS corr
+            FROM pairs p CROSS JOIN c
         """,
     }

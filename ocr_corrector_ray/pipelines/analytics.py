@@ -3149,3 +3149,115 @@ def revenue_forecast(sf_dir: str):
         ),
         preserve_index=False,
     )
+
+
+def event_value_trend(sf_dir: str):
+    """event_type, n, slope, intercept: per-type ordinary-least-squares
+    trend of event value against time (hours since 2024-01-01) — the
+    grouped-regression shape.  Classic mergeable-moments pattern: each
+    batch reduces its rows to per-type sufficient statistics
+    (n, Σx, Σy, Σx², Σxy) with ONE vectorized pandas groupby, the
+    exchange carries only those 5-number partials (|types| rows per
+    batch, never the events), and the per-group finish solves the
+    normal equations.  The fixed origin keeps x small so the raw-moment
+    formula (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) is well-conditioned and
+    bit-agrees with the oracle's identical formula at round(6)."""
+    from ._agg import grouped_agg
+    from ._util import arrow_out
+
+    origin_us = np.int64(1704067200000000)  # 2024-01-01T00:00:00Z in µs
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_type", "ts", "value"]
+    )
+
+    def partial(df: pd.DataFrame):
+        x = (
+            df["ts"].to_numpy(dtype="datetime64[us]").astype("int64") - origin_us
+        ) / 3.6e9  # µs -> hours
+        y = df["value"].to_numpy(dtype="float64")
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": df["event_type"],
+                    "n": np.int64(1),
+                    "sx": x,
+                    "sy": y,
+                    "sxx": x * x,
+                    "sxy": x * y,
+                }
+            )
+            .groupby("event_type", as_index=False)
+            .sum()
+        )
+        return arrow_out(g)
+
+    agg = grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type"],
+        {
+            "n": ("n", "sum"),
+            "sx": ("sx", "sum"),
+            "sy": ("sy", "sum"),
+            "sxx": ("sxx", "sum"),
+            "sxy": ("sxy", "sum"),
+        },
+    )
+
+    def finish(df: pd.DataFrame):
+        from ._util import arrow_out as _ao
+
+        n = df["n"].to_numpy(dtype="float64")
+        sx, sy = df["sx"].to_numpy(), df["sy"].to_numpy()
+        sxx, sxy = df["sxx"].to_numpy(), df["sxy"].to_numpy()
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return _ao(
+            pd.DataFrame(
+                {
+                    "event_type": df["event_type"],
+                    "n": df["n"].astype("int64"),
+                    "slope": np.round(slope, 6),
+                    "intercept": np.round(intercept, 4),
+                }
+            )
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def lineitem_correlations(sf_dir: str):
+    """col_a, col_b, n, corr: Pearson correlation for every pair of the
+    four lineitem numeric measures — the feature-correlation-matrix
+    shape over a fact table.  Single scan, no shuffle: each batch
+    reduces to one row of raw moments (n, Σxᵢ, Σxᵢ², Σxᵢxⱼ for all
+    pairs), the driver merges #blocks such rows (bounded by block
+    count, not data size) and emits the 6-row matrix."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    ds = ray.data.read_parquet(_p(sf_dir, "lineitem"), columns=cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"n": [np.int64(len(df))]}
+        arrs = {c: df[c].to_numpy(dtype="float64") for c in cols}
+        for c in cols:
+            out[f"s_{c}"] = [arrs[c].sum()]
+            out[f"ss_{c}"] = [(arrs[c] * arrs[c]).sum()]
+        for a, b in pairs:
+            out[f"sp_{a}__{b}"] = [(arrs[a] * arrs[b]).sum()]
+        return pd.DataFrame(out)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    m = parts.sum()
+    n = float(m["n"])
+    rows = []
+    for a, b in pairs:
+        cov = n * m[f"sp_{a}__{b}"] - m[f"s_{a}"] * m[f"s_{b}"]
+        va = n * m[f"ss_{a}"] - m[f"s_{a}"] ** 2
+        vb = n * m[f"ss_{b}"] - m[f"s_{b}"] ** 2
+        rows.append((a, b, int(n), round(float(cov / np.sqrt(va * vb)), 6)))
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["col_a", "col_b", "n", "corr"]).astype(
+            {"n": "int64", "corr": "float64"}
+        ),
+        preserve_index=False,
+    )

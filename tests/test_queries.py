@@ -123,6 +123,8 @@ _TAIL_ORACLED_OK = {
     # ninth r5 session additions (same evidence basis)
     "event_props_stats",
     "revenue_forecast",
+    "event_value_trend",
+    "lineitem_correlations",
 }
 
 
