@@ -408,6 +408,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # statistics, never rows)
         "event_value_trend": analytics.event_value_trend,
         "lineitem_correlations": analytics.lineitem_correlations,
+        # market-basket lift over user-hour sessions (set-pair mining)
+        "session_type_affinity": analytics.session_type_affinity,
         # rows-only by nature
         # max-munch segmentation: pytest-pinned.  vocab_top=16 < the
         # synthetic corpus's 31-word vocabulary so the driver row shows
@@ -1874,5 +1876,27 @@ def oracle_sql() -> dict[str, str]:
                        WHEN p.col_a = 'l_extendedprice' AND p.col_b = 'l_tax' THEN c_et
                        ELSE c_dt END, 6) AS corr
             FROM pairs p CROSS JOIN c
+        """,
+        # market-basket lift: event types co-occurring in the same
+        # user-hour session; lift = n_sessions*n_both/(n_a*n_b)
+        "session_type_affinity": """
+            WITH ut AS (
+                SELECT DISTINCT user_id, date_trunc('hour', ts) AS h, event_type
+                FROM events),
+            n AS (SELECT count(*) AS n_sessions
+                  FROM (SELECT DISTINCT user_id, h FROM ut)),
+            tc AS (SELECT event_type, count(*) AS c FROM ut GROUP BY event_type),
+            pc AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                          count(*) AS n_both
+                   FROM ut a JOIN ut b
+                     ON a.user_id = b.user_id AND a.h = b.h
+                    AND a.event_type < b.event_type
+                   GROUP BY 1, 2)
+            SELECT pc.type_a, pc.type_b, pc.n_both,
+                   round(CAST(pc.n_both AS DOUBLE) * n.n_sessions
+                         / (ta.c * tb.c), 6) AS lift
+            FROM pc JOIN tc ta ON ta.event_type = pc.type_a
+                    JOIN tc tb ON tb.event_type = pc.type_b
+                    CROSS JOIN n
         """,
     }

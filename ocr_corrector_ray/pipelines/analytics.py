@@ -3261,3 +3261,111 @@ def lineitem_correlations(sf_dir: str):
         ),
         preserve_index=False,
     )
+
+
+def session_type_affinity(sf_dir: str, num_buckets: int | None = None):
+    """type_a, type_b, n_both, lift: market-basket affinity between
+    event types that co-occur inside the same user-hour session — the
+    set-pair-mining shape (association rules over baskets).  lift =
+    n_sessions · n_both / (n_a · n_b), where n_a counts sessions
+    containing type a.
+
+    Scale shape: each batch first dedupes to (user, hour, type) triples
+    — the basket combiner — then ONE hash exchange on (user, hour)
+    colocates every basket; per bucket, a vectorized self-merge expands
+    pairs (bounded by |types|² per basket, 25 here) and reduces to
+    tagged partials (≤ |types|² pair rows + |types| type rows + one
+    session-count row per bucket), so the driver merges O(P·|types|²)
+    rows — never the events."""
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+
+    num_buckets = num_buckets or default_num_buckets()
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
+    )
+
+    def tag(df: pd.DataFrame):
+        t = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(dtype="int64"),
+                # datetime64[h] truncation == date_trunc('hour', ts)
+                "h": df["ts"].to_numpy(dtype="datetime64[h]").astype("int64"),
+                "event_type": df["event_type"],
+            }
+        ).drop_duplicates()
+        key = pd.util.hash_pandas_object(t[["user_id", "h"]], index=False)
+        return arrow_out(t.assign(bucket=(key % num_buckets).astype("int32")))
+
+    def bucket_fn(df: pd.DataFrame):
+        t = df.drop_duplicates(["user_id", "h", "event_type"])
+        n_sessions = len(t[["user_id", "h"]].drop_duplicates())
+        types = t.groupby("event_type", as_index=False).agg(n=("h", "size"))
+        m = t.merge(t, on=["user_id", "h"])
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        pairs = m.groupby(["event_type_x", "event_type_y"], as_index=False).agg(
+            n=("h", "size")
+        )
+        out = pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "kind": "pair",
+                        "type_a": pairs["event_type_x"],
+                        "type_b": pairs["event_type_y"],
+                        "n": pairs["n"].astype("int64"),
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "kind": "type",
+                        "type_a": types["event_type"],
+                        "type_b": "",
+                        "n": types["n"].astype("int64"),
+                    }
+                ),
+                pd.DataFrame(
+                    {"kind": "sess", "type_a": [""], "type_b": [""],
+                     "n": pd.Series([n_sessions], dtype="int64")}
+                ),
+            ],
+            ignore_index=True,
+        )
+        return arrow_out(
+            out,
+            null_casts={
+                "kind": pa.string(), "type_a": pa.string(), "type_b": pa.string()
+            },
+        )
+
+    partials = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("bucket", num_partitions=physical_partitions(num_buckets))
+        .map_groups(bucket_fn, batch_format="pandas")
+        .to_pandas()
+    )
+    n_sessions = int(partials.loc[partials["kind"] == "sess", "n"].sum())
+    type_n = (
+        partials[partials["kind"] == "type"]
+        .groupby("type_a")["n"].sum()
+    )
+    p = (
+        partials[partials["kind"] == "pair"]
+        .groupby(["type_a", "type_b"], as_index=False)["n"].sum()
+    )
+    lift = (
+        p["n"].to_numpy(dtype="float64")
+        * n_sessions
+        / (type_n[p["type_a"]].to_numpy(dtype="float64")
+           * type_n[p["type_b"]].to_numpy(dtype="float64"))
+    )
+    return pa.Table.from_pandas(
+        pd.DataFrame(
+            {
+                "type_a": p["type_a"],
+                "type_b": p["type_b"],
+                "n_both": p["n"].astype("int64"),
+                "lift": np.round(lift, 6),
+            }
+        ),
+        preserve_index=False,
+    )

@@ -125,6 +125,7 @@ _TAIL_ORACLED_OK = {
     "revenue_forecast",
     "event_value_trend",
     "lineitem_correlations",
+    "session_type_affinity",
 }
 
 
