@@ -410,6 +410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_correlations": analytics.lineitem_correlations,
         # market-basket lift over user-hour sessions (set-pair mining)
         "session_type_affinity": analytics.session_type_affinity,
+        # string-similarity join via deletion-neighborhood blocking
+        "fuzzy_name_pairs": analytics.fuzzy_name_pairs,
         # rows-only by nature
         # max-munch segmentation: pytest-pinned.  vocab_top=16 < the
         # synthetic corpus's 31-word vocabulary so the driver row shows
@@ -1898,5 +1900,16 @@ def oracle_sql() -> dict[str, str]:
             FROM pc JOIN tc ta ON ta.event_type = pc.type_a
                     JOIN tc tb ON tb.event_type = pc.type_b
                     CROSS JOIN n
+        """,
+        # string-similarity join: distinct part names within edit
+        # distance 1 (dist is always 1: names are distinct, so ED=0 is
+        # impossible); the Ray side blocks on deletion neighborhoods,
+        # the oracle brute-forces levenshtein over the tiny name dim
+        "fuzzy_name_pairs": """
+            WITH n AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            FROM n a JOIN n b ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 1
         """,
     }

@@ -3369,3 +3369,89 @@ def session_type_affinity(sf_dir: str, num_buckets: int | None = None):
         ),
         preserve_index=False,
     )
+
+
+def _ed_le_1(a: str, b: str) -> bool:
+    """Exact edit-distance ≤ 1 check for two DISTINCT strings (verifier
+    for the deletion-neighborhood candidates; runs only on the
+    candidate set, which blocking keeps output-sized)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # b = a with one char inserted: split at first mismatch
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def fuzzy_name_pairs(sf_dir: str, num_buckets: int | None = None):
+    """name_a, name_b, dist: all pairs of distinct part names within
+    edit distance 1 — the string-similarity join (EDJoin family).
+    Candidate generation is deletion-neighborhood blocking: two strings
+    u, v with ED(u,v) ≤ 1 necessarily share a key in
+    {s} ∪ {s with one char deleted} (substitution: delete the differing
+    position from both; insert/delete: the deletion variant equals the
+    shorter string), so grouping on those keys is recall-complete and
+    the O(n²) all-pairs scan never happens.
+
+    Scale shape: key generation is vectorized per deletion POSITION
+    (one pandas str-slice pass per position over the batch's distinct
+    names — never a per-row loop), keyed rows are batch-deduped before
+    ONE hash-bucketed exchange, per-bucket self-merge yields candidates
+    bounded by the neighborhood collision rate, and the exact ≤1
+    verifier runs only on that candidate set.  Cross-bucket duplicate
+    pairs (one pair can share several keys) are deduped on the
+    output-sized pair table; at corpus scale that dedup becomes one
+    more hash exchange on the pair key (the neardup_pairs convention)."""
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+
+    num_buckets = num_buckets or default_num_buckets()
+    ds = ray.data.read_parquet(_p(sf_dir, "part"), columns=["p_name"])
+
+    def tag(df: pd.DataFrame):
+        names = pd.Series(pd.unique(df["p_name"].dropna())).astype(str)
+        frames = [pd.DataFrame({"key": names, "name": names})]
+        maxlen = int(names.str.len().max()) if len(names) else 0
+        for i in range(maxlen):
+            sel = names[names.str.len() > i]
+            frames.append(
+                pd.DataFrame(
+                    {"key": sel.str.slice(0, i) + sel.str.slice(i + 1), "name": sel}
+                )
+            )
+        t = pd.concat(frames, ignore_index=True).drop_duplicates()
+        h = pd.util.hash_pandas_object(t["key"], index=False)
+        return arrow_out(
+            t.assign(bucket=(h % num_buckets).astype("int32")),
+            null_casts={"key": pa.string(), "name": pa.string()},
+        )
+
+    def bucket_fn(df: pd.DataFrame):
+        t = df.drop_duplicates(["key", "name"])
+        m = t.merge(t, on="key")
+        cand = m[m["name_x"] < m["name_y"]][["name_x", "name_y"]].drop_duplicates()
+        keep = [
+            _ed_le_1(a, b) for a, b in zip(cand["name_x"], cand["name_y"])
+        ]
+        out = cand[np.asarray(keep, dtype=bool)] if len(cand) else cand
+        return arrow_out(
+            pd.DataFrame({"name_a": out["name_x"], "name_b": out["name_y"]}),
+            null_casts={"name_a": pa.string(), "name_b": pa.string()},
+        )
+
+    pairs = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("bucket", num_partitions=physical_partitions(num_buckets))
+        .map_groups(bucket_fn, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates(ignore_index=True)
+    )
+    return pa.Table.from_pandas(
+        pairs.assign(dist=np.ones(len(pairs), dtype="int64")),
+        preserve_index=False,
+    )

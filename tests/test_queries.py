@@ -126,6 +126,7 @@ _TAIL_ORACLED_OK = {
     "event_value_trend",
     "lineitem_correlations",
     "session_type_affinity",
+    "fuzzy_name_pairs",
 }
 
 
