@@ -412,6 +412,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_type_affinity": analytics.session_type_affinity,
         # string-similarity join via deletion-neighborhood blocking
         "fuzzy_name_pairs": analytics.fuzzy_name_pairs,
+        # the remaining classic TPC-H join/aggregate shapes: Q14
+        # (conditional-ratio over a broadcast dim join), Q17 (correlated
+        # per-group average consumed by a filter on the same group), Q18
+        # (grouped HAVING feeding a partitioned join), Q22 (scalar
+        # subquery + anti-join + grouped agg), Q13 (outer-join counts
+        # grouped twice into a distribution)
+        "promo_revenue_monthly": analytics.promo_revenue_monthly,
+        "small_quantity_revenue": analytics.small_quantity_revenue,
+        "large_order_customers": analytics.large_order_customers,
+        "idle_rich_customers": analytics.idle_rich_customers,
+        "order_count_distribution": analytics.order_count_distribution,
         # rows-only by nature
         # max-munch segmentation: pytest-pinned.  vocab_top=16 < the
         # synthetic corpus's 31-word vocabulary so the driver row shows
@@ -1911,5 +1922,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
             FROM n a JOIN n b ON a.p_name < b.p_name
             WHERE levenshtein(a.p_name, b.p_name) <= 1
+        """,
+        # TPC-H Q14 shape: promo share of discounted revenue per ship-month
+        "promo_revenue_monthly": """
+            SELECT strftime(l.l_shipdate, '%Y-%m') AS month,
+                   round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                          THEN l.l_extendedprice * (1 - l.l_discount)
+                                          ELSE 0 END)
+                         / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                     AS promo_revenue
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY 1
+        """,
+        # TPC-H Q17 shape: quantities are integral doubles, so per-part
+        # sums (hence the avg and the < comparison) are exact on both
+        # engines; the final sum is rounded after the /7 scale
+        "small_quantity_revenue": """
+            SELECT round(coalesce(sum(l.l_extendedprice), 0) / 7.0, 2)
+                     AS yearly_revenue
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand = 'Brand#12'
+              AND l.l_quantity < 0.2 * (
+                    SELECT avg(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = l.l_partkey)
+        """,
+        # TPC-H Q18 shape: orders whose total quantity beats the HAVING
+        # threshold, with their customer
+        "large_order_customers": """
+            SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                   o.o_totalprice, round(t.sq, 2) AS sum_qty
+            FROM (SELECT l_orderkey, sum(l_quantity) AS sq
+                  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250) t
+            JOIN orders o ON o.o_orderkey = t.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        # TPC-H Q22 shape: above-global-average balances with no URGENT
+        # order, counted per nation
+        "idle_rich_customers": """
+            SELECT n.n_name AS nation,
+                   count(*) AS n_cust,
+                   round(sum(c.c_acctbal), 2) AS total_acctbal
+            FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                                 WHERE c2.c_acctbal > 0)
+              AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
+                                      WHERE o_orderpriority = '1-URGENT')
+            GROUP BY 1
+        """,
+        # TPC-H Q13 shape: distribution of per-customer order counts,
+        # zero bucket included via the LEFT join
+        "order_count_distribution": """
+            SELECT n_orders, count(*) AS n_customers FROM (
+                SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+                FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                GROUP BY 1) GROUP BY 1
         """,
     }

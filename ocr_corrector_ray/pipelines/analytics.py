@@ -3455,3 +3455,320 @@ def fuzzy_name_pairs(sf_dir: str, num_buckets: int | None = None):
         pairs.assign(dist=np.ones(len(pairs), dtype="int64")),
         preserve_index=False,
     )
+
+
+def promo_revenue_monthly(sf_dir: str, promo_prefix: str = "PROMO"):
+    """month, promo_revenue: per ship-month percentage of discounted
+    revenue that came from promo-type parts — TPC-H Q14's shape: a
+    conditional-ratio aggregate over a fact ⋈ small-dimension join.
+
+    Scale shape: the part dimension reduces to the SET of promo partkeys
+    (one int64 per promo part), broadcast once with ``ray.put`` and
+    probed per batch with ``np.isin`` — the fact table never shuffles
+    for the join.  The per-batch (month, promo_rev, total_rev) partial
+    is the in-batch combiner, bounded by the calendar (≤ |months| rows
+    per batch), so the driver-side reduce sees months-sized data only."""
+    from ._util import arrow_out
+
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(_p(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    types = np.asarray(part.column("p_type").to_pylist())
+    keys = part.column("p_partkey").to_numpy()
+    promo_ref = ray.put(np.sort(keys[np.char.startswith(types, promo_prefix)]))
+
+    items = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(df: pd.DataFrame):
+        promo = ray.get(promo_ref)
+        rev = (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
+        is_promo = np.isin(df["l_partkey"].to_numpy(), promo)
+        g = pd.DataFrame({
+            "month": df["l_shipdate"].dt.strftime("%Y-%m"),
+            "promo_rev": np.where(is_promo, rev, 0.0),
+            "total_rev": rev,
+        }).groupby("month", as_index=False).sum()
+        return arrow_out(g)
+
+    parts = items.map_batches(partial, batch_format="pandas").to_pandas()
+    m = parts.groupby("month", as_index=False).sum()
+    m["promo_revenue"] = (100.0 * m["promo_rev"] / m["total_rev"]).round(4)
+    return pa.Table.from_pandas(
+        m[["month", "promo_revenue"]], preserve_index=False
+    )
+
+
+def small_quantity_revenue(sf_dir: str, brand: str = "Brand#12",
+                           fraction: float = 0.2,
+                           num_buckets: int | None = None):
+    """yearly_revenue (one row): total extended price of lineitems whose
+    quantity is below ``fraction`` × the PART's OWN average quantity,
+    for parts of one brand, scaled to a yearly figure (÷ 7) — TPC-H
+    Q17's shape: a correlated per-group average consumed by a filter on
+    the same group's rows (the "small-order long tail" revenue probe).
+
+    Scale shape: the brand predicate reduces part to a small partkey
+    set, broadcast via ``ray.put`` and probed per batch with
+    ``np.isin`` — the fact read drops every non-brand row before the
+    exchange.  Surviving rows bucket-exchange ON partkey so each
+    group's average and its conditional sum are computed together in
+    one ``map_groups`` pass (the correlated subquery never re-scans);
+    the finish emits one partial sum per bucket, reduced to the single
+    output row on the driver."""
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+
+    import pyarrow.parquet as pq
+
+    num_buckets = num_buckets or default_num_buckets()
+    part = pq.read_table(_p(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    mask = pc.equal(part.column("p_brand"), brand)
+    keys_ref = ray.put(np.sort(part.filter(mask).column("p_partkey").to_numpy()))
+
+    items = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def keep_brand(df: pd.DataFrame):
+        keys = ray.get(keys_ref)
+        sub = df[np.isin(df["l_partkey"].to_numpy(), keys)]
+        return arrow_out(pd.DataFrame({
+            "key": sub["l_partkey"].to_numpy(dtype="int64"),
+            "bucket": (sub["l_partkey"].to_numpy(dtype="int64")
+                       % num_buckets).astype("int32"),
+            "qty": sub["l_quantity"].to_numpy(),
+            "price": sub["l_extendedprice"].to_numpy(),
+        }))
+
+    def per_part(df: pd.DataFrame):
+        # per-group avg and the conditional sum in one pass; quantities
+        # are integral doubles so group sums (and hence the avg) are
+        # exact and the < comparison is deterministic on both engines
+        avg = df.groupby("key")["qty"].transform("mean")
+        small = df[df["qty"] < fraction * avg]
+        return arrow_out(pd.DataFrame({
+            "partial": [float(small["price"].sum())]
+        }))
+
+    partials = (
+        items.map_batches(keep_brand, batch_format="pandas")
+        .groupby("bucket", num_partitions=physical_partitions(num_buckets))
+        .map_groups(per_part, batch_format="pandas")
+        .to_pandas()
+    )
+    total = float(partials["partial"].sum()) if len(partials) else 0.0
+    return pa.table({"yearly_revenue": [round(total / 7.0, 2)]})
+
+
+def large_order_customers(sf_dir: str, min_qty: float = 250.0,
+                          num_buckets: int | None = None):
+    """c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty:
+    orders whose TOTAL lineitem quantity exceeds ``min_qty``, with their
+    customer — TPC-H Q18's shape: a grouped HAVING filter feeding a
+    partitioned join, with the small dimension attached by broadcast.
+
+    Scale shape: the lineitem side pre-reduces to (orderkey, qty-sum)
+    per batch — the in-batch combiner — so the orderkey exchange never
+    carries raw lineitems; each bucket re-reduces, applies the HAVING
+    threshold (orderkey lives wholly in its bucket, so the filter is
+    exact), and joins the co-bucketed orders rows; customer names
+    attach via one ``ray.put`` map.  Output is HAVING-selected (rare
+    giant orders), so the tail is result-sized."""
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+
+    num_buckets = num_buckets or default_num_buckets()
+    orders = ray.data.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    items = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"]
+    )
+
+    def tag_orders(df: pd.DataFrame):
+        keys = df["o_orderkey"].to_numpy(dtype="int64")
+        return arrow_out(pd.DataFrame({
+            "key": keys,
+            "bucket": (keys % num_buckets).astype("int32"),
+            "custkey": df["o_custkey"].to_numpy(dtype="int64"),
+            "odate": df["o_orderdate"].to_numpy(dtype="datetime64[us]").astype("int64"),
+            "price": df["o_totalprice"].to_numpy(),
+            "qty": np.zeros(len(df)),
+            "side": "o",
+        }))
+
+    def tag_items(df: pd.DataFrame):
+        g = (
+            pd.DataFrame({
+                "key": df["l_orderkey"].to_numpy(dtype="int64"),
+                "qty": df["l_quantity"].to_numpy(),
+            }).groupby("key", as_index=False)["qty"].sum()
+        )
+        keys = g["key"].to_numpy(dtype="int64")
+        return arrow_out(pd.DataFrame({
+            "key": keys,
+            "bucket": (keys % num_buckets).astype("int32"),
+            "custkey": np.zeros(len(g), dtype="int64"),
+            "odate": np.zeros(len(g), dtype="int64"),
+            "price": np.zeros(len(g)),
+            "qty": g["qty"].to_numpy(),
+            "side": "l",
+        }))
+
+    def having_join(df: pd.DataFrame):
+        l = df[df["side"] == "l"].groupby("key", as_index=False)["qty"].sum()
+        big = l[l["qty"] > min_qty]
+        o = df[df["side"] == "o"][["key", "custkey", "odate", "price"]]
+        m = big.merge(o, on="key", how="inner")
+        return arrow_out(pd.DataFrame({
+            "c_custkey": m["custkey"].astype("int64"),
+            "o_orderkey": m["key"].astype("int64"),
+            "o_orderdate": m["odate"].astype("datetime64[us]"),
+            "o_totalprice": m["price"],
+            "sum_qty": m["qty"].round(2),
+        }))
+
+    both = orders.map_batches(tag_orders, batch_format="pandas").union(
+        items.map_batches(tag_items, batch_format="pandas")
+    )
+    winners = both.groupby(
+        "bucket", num_partitions=physical_partitions(num_buckets)
+    ).map_groups(having_join, batch_format="pandas")
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    name_ref = ray.put(dict(zip(
+        cust.column("c_custkey").to_pylist(), cust.column("c_name").to_pylist()
+    )))
+
+    def attach_name(df: pd.DataFrame):
+        names = ray.get(name_ref)
+        return arrow_out(
+            df.assign(c_name=df["c_custkey"].map(names))[
+                ["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice", "sum_qty"]
+            ],
+            null_casts={"c_name": pa.string()},
+        )
+
+    return winners.map_batches(attach_name, batch_format="pandas")
+
+
+def idle_rich_customers(sf_dir: str, priority: str = "1-URGENT",
+                        num_buckets: int | None = None):
+    """nation, n_cust, total_acctbal: per-nation count and balance of
+    customers whose balance beats the GLOBAL positive-balance average
+    but who never placed an order of the given priority — TPC-H Q22's
+    shape: an uncorrelated scalar subquery consumed as a filter, an
+    anti-join, and a grouped aggregate in one plan.
+
+    Scale shape: the scalar average reduces per batch to one (sum, n)
+    partial — two doubles per batch, merged on the driver and rebroadcast
+    as plain Python floats in the closure; the anti-join bucket-exchanges
+    custkeys with the order side pre-reduced to its in-batch DISTINCT
+    custkey set (and pre-filtered by parquet predicate pushdown on the
+    priority); each bucket emits per-nation partials, so the final
+    nation aggregate is dimension-sized."""
+    from ._agg import grouped_agg
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+
+    num_buckets = num_buckets or default_num_buckets()
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+
+    # pass 1: global scalar — avg of positive balances (two-double partials)
+    scalars = ray.data.read_parquet(
+        _p(sf_dir, "customer"), columns=["c_acctbal"]
+    ).map_batches(
+        lambda df: pd.DataFrame({
+            "s": [df.loc[df["c_acctbal"] > 0, "c_acctbal"].sum()],
+            "n": [int((df["c_acctbal"] > 0).sum())],
+        }),
+        batch_format="pandas",
+    ).to_pandas()
+    avg_bal = float(scalars["s"].sum()) / max(1, int(scalars["n"].sum()))
+
+    cust = ray.data.read_parquet(_p(sf_dir, "customer"), columns=cust_cols)
+    orders = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_custkey"],
+        filter=(pc.field("o_orderpriority") == priority),
+    )
+
+    def tag_cust(df: pd.DataFrame):
+        sub = df[df["c_acctbal"] > avg_bal]
+        keys = sub["c_custkey"].to_numpy(dtype="int64")
+        return arrow_out(pd.DataFrame({
+            "key": keys,
+            "bucket": (keys % num_buckets).astype("int32"),
+            "nationkey": sub["c_nationkey"].to_numpy(dtype="int64"),
+            "acctbal": sub["c_acctbal"].to_numpy(),
+            "side": "c",
+        }))
+
+    def tag_orders(df: pd.DataFrame):
+        keys = np.unique(df["o_custkey"].to_numpy(dtype="int64"))
+        return arrow_out(pd.DataFrame({
+            "key": keys,
+            "bucket": (keys % num_buckets).astype("int32"),
+            "nationkey": np.zeros(len(keys), dtype="int64"),
+            "acctbal": np.zeros(len(keys)),
+            "side": "o",
+        }))
+
+    def anti_bucket(df: pd.DataFrame):
+        present = set(df.loc[df["side"] == "o", "key"])
+        c = df[df["side"] == "c"]
+        keep = c[~c["key"].isin(present)]
+        part = keep.groupby("nationkey", as_index=False).agg(
+            n_cust=("key", "size"), total_acctbal=("acctbal", "sum")
+        )
+        return arrow_out(part)
+
+    partials = (
+        cust.map_batches(tag_cust, batch_format="pandas")
+        .union(orders.map_batches(tag_orders, batch_format="pandas"))
+        .groupby("bucket", num_partitions=physical_partitions(num_buckets))
+        .map_groups(anti_bucket, batch_format="pandas")
+    )
+    totals = grouped_agg(
+        partials, ["nationkey"],
+        {"n_cust": ("n_cust", "sum"), "total_acctbal": ("total_acctbal", "sum")},
+    )
+
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    nat_ref = ray.put(dict(zip(
+        nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist()
+    )))
+
+    def attach_nation(df: pd.DataFrame):
+        names = ray.get(nat_ref)
+        return arrow_out(pd.DataFrame({
+            "nation": df["nationkey"].map(names),
+            "n_cust": df["n_cust"].astype("int64"),
+            "total_acctbal": df["total_acctbal"].round(2),
+        }), null_casts={"nation": pa.string()})
+
+    return totals.map_batches(attach_nation, batch_format="pandas")
+
+
+def order_count_distribution(sf_dir: str, num_buckets: int | None = None):
+    """n_orders, n_customers: how many customers placed exactly k orders,
+    INCLUDING the zero bucket — TPC-H Q13's shape: a LEFT OUTER join
+    grouped twice (per-customer counts, then the distribution of those
+    counts).  Composes ``customer_order_counts`` (the outer-join count
+    pass, custkey-bucketed with in-batch combiners) with one more
+    dimension-sized ``grouped_agg``: the second level's key cardinality
+    is the max order count, so its exchange is trivially small."""
+    from ._agg import grouped_agg
+
+    counts = customer_order_counts(sf_dir, num_buckets=num_buckets)
+    return grouped_agg(
+        counts.select_columns(["c_custkey", "n_orders"]),
+        ["n_orders"],
+        {"n_customers": ("c_custkey", "size")},
+    )

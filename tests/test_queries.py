@@ -127,6 +127,13 @@ _TAIL_ORACLED_OK = {
     "lineitem_correlations",
     "session_type_affinity",
     "fuzzy_name_pairs",
+    # tenth r5 session additions (same evidence basis): the remaining
+    # classic TPC-H join/aggregate shapes Q14/Q17/Q18/Q22/Q13
+    "promo_revenue_monthly",
+    "small_quantity_revenue",
+    "large_order_customers",
+    "idle_rich_customers",
+    "order_count_distribution",
 }
 
 

@@ -1,0 +1,97 @@
+"""Semantic tests for the tenth-r5-session operators (beyond the
+parametrized DuckDB-oracle equality in test_queries.py): the remaining
+classic TPC-H join/aggregate shapes — Q14 conditional ratio, Q17
+correlated per-group average, Q18 grouped HAVING join, Q22 scalar
+subquery + anti-join, Q13 count distribution."""
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    con = duckdb.connect()
+    for t in ["customer", "orders", "lineitem", "part", "nation"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def test_promo_revenue_is_a_percentage_over_all_months(ray_session, con):
+    from ocr_corrector_ray.pipelines.analytics import promo_revenue_monthly
+
+    got = promo_revenue_monthly(SF_DIR).to_pandas()
+    n_months = con.execute(
+        "SELECT count(DISTINCT strftime(l_shipdate, '%Y-%m')) FROM lineitem"
+    ).fetchone()[0]
+    assert len(got) == n_months
+    assert got["promo_revenue"].between(0, 100).all()
+    # promo parts exist in the fixture, so the share is non-trivial
+    assert got["promo_revenue"].gt(0).any()
+
+
+def test_small_quantity_revenue_bounds(ray_session, con):
+    from ocr_corrector_ray.pipelines.analytics import small_quantity_revenue
+
+    got = small_quantity_revenue(SF_DIR).to_pandas()
+    assert len(got) == 1
+    # strictly below the unconditional brand revenue (the avg filter bites)
+    full = con.execute(
+        """SELECT sum(l_extendedprice) / 7.0 FROM lineitem l
+           JOIN part p ON p.p_partkey = l.l_partkey
+           WHERE p.p_brand = 'Brand#12'"""
+    ).fetchone()[0]
+    assert 0 <= got["yearly_revenue"].iloc[0] < full
+
+
+def test_large_order_customers_threshold_is_exact(ray_session, con):
+    from ocr_corrector_ray.pipelines.analytics import large_order_customers
+
+    got = large_order_customers(SF_DIR, min_qty=250.0).to_pandas()
+    # every emitted order's recomputed quantity clears the threshold,
+    # and no qualifying order is missed
+    per_order = con.execute(
+        "SELECT l_orderkey, sum(l_quantity) sq FROM lineitem GROUP BY 1"
+    ).df().set_index("l_orderkey")["sq"]
+    assert set(got["o_orderkey"]) == set(per_order[per_order > 250.0].index)
+    for _, r in got.iterrows():
+        assert r["sum_qty"] == pytest.approx(per_order[r["o_orderkey"]])
+    # customer attach is consistent with the orders table
+    o2c = con.execute("SELECT o_orderkey, o_custkey FROM orders").df()
+    m = got.merge(o2c, on="o_orderkey")
+    assert (m["c_custkey"] == m["o_custkey"]).all()
+
+
+def test_idle_rich_customers_anti_join_holds(ray_session, con):
+    from ocr_corrector_ray.pipelines.analytics import idle_rich_customers
+
+    got = idle_rich_customers(SF_DIR).to_pandas()
+    # recompute the qualifying set serially and compare per-nation counts
+    exp = con.execute(
+        """SELECT n.n_name AS nation, count(*) AS n_cust
+           FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+           WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                                WHERE c2.c_acctbal > 0)
+             AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
+                                     WHERE o_orderpriority = '1-URGENT')
+           GROUP BY 1"""
+    ).df()
+    assert got["n_cust"].sum() == exp["n_cust"].sum() > 0
+    merged = got.merge(exp, on="nation", suffixes=("", "_exp"))
+    assert len(merged) == len(exp) == len(got)
+    assert (merged["n_cust"] == merged["n_cust_exp"]).all()
+
+
+def test_order_count_distribution_accounts_for_every_customer(ray_session, con):
+    from ocr_corrector_ray.pipelines.analytics import order_count_distribution
+
+    got = order_count_distribution(SF_DIR).to_pandas()
+    n_cust = con.execute("SELECT count(*) FROM customer").fetchone()[0]
+    n_orders = con.execute("SELECT count(*) FROM orders").fetchone()[0]
+    # partition of the customer set; counts weighted by k re-sum to |orders|
+    assert got["n_customers"].sum() == n_cust
+    assert (got["n_orders"] * got["n_customers"]).sum() == n_orders
