@@ -423,6 +423,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_order_customers": analytics.large_order_customers,
         "idle_rich_customers": analytics.idle_rich_customers,
         "order_count_distribution": analytics.order_count_distribution,
+        # and the last three distinct TPC-H shapes: Q7 (one dimension in
+        # two roles across a fact⋈fact join, two chained exchanges), Q15
+        # (aggregate filtered by equality against its own max), Q19
+        # (OR-of-ANDs predicate spanning both join sides)
+        "nation_trade_volume": analytics.nation_trade_volume,
+        "top_supplier_revenue": analytics.top_supplier_revenue,
+        "disjunctive_predicate_revenue": analytics.disjunctive_predicate_revenue,
         # rows-only by nature
         # max-munch segmentation: pytest-pinned.  vocab_top=16 < the
         # synthetic corpus's 31-word vocabulary so the driver row shows
@@ -1976,5 +1983,51 @@ def oracle_sql() -> dict[str, str]:
                 SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
                 FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
                 GROUP BY 1) GROUP BY 1
+        """,
+        # TPC-H Q7 shape: cross-border revenue per (supplier nation,
+        # customer nation, ship year) — all cross pairs
+        "nation_trade_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                     AS revenue
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+            WHERE n1.n_name <> n2.n_name
+            GROUP BY 1, 2, 3
+        """,
+        # TPC-H Q15 shape: supplier(s) at the global revenue maximum over
+        # the ship window
+        "top_supplier_revenue": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       sum(l_extendedprice * (1 - l_discount)) AS rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-07-01'
+                GROUP BY 1)
+            SELECT r.l_suppkey AS s_suppkey, s.s_name,
+                   round(r.rev, 4) AS total_revenue
+            FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.rev = (SELECT max(rev) FROM r)
+        """,
+        # TPC-H Q19 shape: OR of (brand, size-range, qty-range)
+        # conjunctions spanning both join sides (bounds mirror
+        # analytics._Q19_RULES)
+        "disjunctive_predicate_revenue": """
+            SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                     AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 20
+                   AND l.l_quantity BETWEEN 1 AND 20)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 30
+                   AND l.l_quantity BETWEEN 10 AND 35)
+               OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 40
+                   AND l.l_quantity BETWEEN 20 AND 50)
         """,
     }

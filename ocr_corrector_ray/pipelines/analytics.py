@@ -3772,3 +3772,261 @@ def order_count_distribution(sf_dir: str, num_buckets: int | None = None):
         ["n_orders"],
         {"n_customers": ("c_custkey", "size")},
     )
+
+
+def nation_trade_volume(sf_dir: str, num_buckets: int | None = None):
+    """supp_nation, cust_nation, l_year, revenue: cross-border shipped
+    revenue per (supplier nation, customer nation, ship year) — TPC-H
+    Q7's shape: the same dimension playing TWO ROLES (nation via the
+    supplier on one side, via the customer on the other) across a
+    fact⋈fact join, grouped by a derived calendar key.
+
+    Scale shape: supplier⋈nation composes driver-side into one
+    broadcast suppkey→nation dict (dimension-sized); the customer side
+    is NOT broadcast — lineitem⋈orders co-locate per orderkey bucket
+    (exchange 1, revenue pre-reduced per (orderkey, supp_nation, year)
+    in the batch combiner), then the custkey-keyed partials co-locate
+    with customer rows per custkey bucket (exchange 2, same union-tag
+    pattern).  Each bucket emits ≤ |nations|²·|years| partial rows, so
+    the final grouped_agg is dimension-bounded."""
+    from ._agg import grouped_agg
+    from ._util import arrow_out, default_num_buckets, physical_partitions
+
+    import pyarrow.parquet as pq
+
+    num_buckets = num_buckets or default_num_buckets()
+    nat = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    nat_map = dict(zip(nat.column("n_nationkey").to_pylist(),
+                       nat.column("n_name").to_pylist()))
+    sup = pq.read_table(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    supp_ref = ray.put({
+        int(k): nat_map[n] for k, n in zip(
+            sup.column("s_suppkey").to_pylist(),
+            sup.column("s_nationkey").to_pylist())
+    })
+    nat_ref = ray.put(nat_map)
+
+    items = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+    orders = ray.data.read_parquet(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    )
+    casts = {"supp_nation": pa.string()}
+
+    def tag_items(df: pd.DataFrame):
+        smap = ray.get(supp_ref)
+        g = pd.DataFrame({
+            "key": df["l_orderkey"].to_numpy(dtype="int64"),
+            "supp_nation": df["l_suppkey"].map(smap),
+            "l_year": df["l_shipdate"].dt.year.astype("int64"),
+            "revenue": (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy(),
+        }).groupby(["key", "supp_nation", "l_year"], as_index=False)["revenue"].sum()
+        return arrow_out(pd.DataFrame({
+            "key": g["key"],
+            "bucket": (g["key"] % num_buckets).astype("int32"),
+            "supp_nation": g["supp_nation"],
+            "l_year": g["l_year"],
+            "revenue": g["revenue"],
+            "custkey": np.zeros(len(g), dtype="int64"),
+            "side": "l",
+        }), null_casts=casts)
+
+    def tag_orders(df: pd.DataFrame):
+        keys = df["o_orderkey"].to_numpy(dtype="int64")
+        return arrow_out(pd.DataFrame({
+            "key": keys,
+            "bucket": (keys % num_buckets).astype("int32"),
+            "supp_nation": pd.Series([None] * len(df), dtype="object"),
+            "l_year": np.zeros(len(df), dtype="int64"),
+            "revenue": np.zeros(len(df)),
+            "custkey": df["o_custkey"].to_numpy(dtype="int64"),
+            "side": "o",
+        }), null_casts=casts)
+
+    def join_orderkey(df: pd.DataFrame):
+        l = df[df["side"] == "l"][["key", "supp_nation", "l_year", "revenue"]]
+        o = df[df["side"] == "o"][["key", "custkey"]]
+        m = l.merge(o, on="key", how="inner")
+        g = m.groupby(["custkey", "supp_nation", "l_year"],
+                      as_index=False)["revenue"].sum()
+        return arrow_out(pd.DataFrame({
+            "key": g["custkey"].astype("int64"),
+            "bucket": (g["custkey"].to_numpy(dtype="int64")
+                       % num_buckets).astype("int32"),
+            "supp_nation": g["supp_nation"],
+            "l_year": g["l_year"],
+            "revenue": g["revenue"],
+            "nationkey": np.zeros(len(g), dtype="int64"),
+            "side": "l",
+        }), null_casts=casts)
+
+    def tag_cust(df: pd.DataFrame):
+        keys = df["c_custkey"].to_numpy(dtype="int64")
+        return arrow_out(pd.DataFrame({
+            "key": keys,
+            "bucket": (keys % num_buckets).astype("int32"),
+            "supp_nation": pd.Series([None] * len(df), dtype="object"),
+            "l_year": np.zeros(len(df), dtype="int64"),
+            "revenue": np.zeros(len(df)),
+            "nationkey": df["c_nationkey"].to_numpy(dtype="int64"),
+            "side": "c",
+        }), null_casts=casts)
+
+    def join_custkey(df: pd.DataFrame):
+        names = ray.get(nat_ref)
+        l = df[df["side"] == "l"][["key", "supp_nation", "l_year", "revenue"]]
+        c = df[df["side"] == "c"][["key", "nationkey"]]
+        m = l.merge(c, on="key", how="inner")
+        m["cust_nation"] = m["nationkey"].map(names)
+        m = m[m["supp_nation"] != m["cust_nation"]]
+        g = m.groupby(["supp_nation", "cust_nation", "l_year"],
+                      as_index=False)["revenue"].sum()
+        return arrow_out(g, null_casts={"supp_nation": pa.string(),
+                                        "cust_nation": pa.string()})
+
+    cust = ray.data.read_parquet(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"]
+    )
+    stage1 = (
+        items.map_batches(tag_items, batch_format="pandas")
+        .union(orders.map_batches(tag_orders, batch_format="pandas"))
+        .groupby("bucket", num_partitions=physical_partitions(num_buckets))
+        .map_groups(join_orderkey, batch_format="pandas")
+    )
+    partials = (
+        stage1.union(cust.map_batches(tag_cust, batch_format="pandas"))
+        .groupby("bucket", num_partitions=physical_partitions(num_buckets))
+        .map_groups(join_custkey, batch_format="pandas")
+    )
+    totals = grouped_agg(
+        partials, ["supp_nation", "cust_nation", "l_year"],
+        {"revenue": ("revenue", "sum")},
+    )
+    # round to 4, not 2: each term price*(1-disc) has exactly 4 decimal
+    # digits, so the group sum is a 4-decimal lattice point and round(4)
+    # recovers it exactly on both engines regardless of summation order —
+    # while round(2) sits ON the half boundary for the ~0.5% of groups
+    # ending in .xx5 and flips with the partial-sum order (measured: 8 of
+    # 1581 groups at sf0.001)
+    return totals.map_batches(
+        lambda df: arrow_out(df.assign(revenue=df["revenue"].round(4))),
+        batch_format="pandas",
+    )
+
+
+def top_supplier_revenue(sf_dir: str,
+                         start: str = "1997-01-01", end: str = "1997-07-01"):
+    """s_suppkey, s_name, total_revenue: the supplier(s) whose shipped
+    revenue over the window equals the GLOBAL maximum — TPC-H Q15's
+    shape: an aggregate consumed by an equality filter against its own
+    maximum (the reference implements it as a view + scalar subquery).
+
+    Scale shape: the date window pushes into the parquet read; per-batch
+    (suppkey, revenue) partials are the combiner; the per-supplier
+    aggregate is supplier-dimension-sized, so materializing it to take
+    the max and filter the winners is bounded by the dimension, never
+    the fact table; names attach from one broadcast-free driver-side
+    dict (the winner set is tiny)."""
+    from ._agg import grouped_agg
+
+    lo, hi = np.datetime64(start, "us"), np.datetime64(end, "us")
+    items = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=((pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi)),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_suppkey": df["l_suppkey"],
+            "revenue": (df["l_extendedprice"] * (1 - df["l_discount"])),
+        }).groupby("l_suppkey", as_index=False)["revenue"].sum()
+
+    per_supp = grouped_agg(
+        items.map_batches(partial, batch_format="pandas"),
+        ["l_suppkey"], {"revenue": ("revenue", "sum")},
+    ).to_pandas()  # supplier-dimension-sized: bounded materialization
+    if len(per_supp) == 0:
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "total_revenue": pa.array([], pa.float64())})
+    winners = per_supp[per_supp["revenue"] == per_supp["revenue"].max()]
+
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+    names = dict(zip(sup.column("s_suppkey").to_pylist(),
+                     sup.column("s_name").to_pylist()))
+    out = pd.DataFrame({
+        "s_suppkey": winners["l_suppkey"].astype("int64"),
+        "s_name": winners["l_suppkey"].map(names),
+        "total_revenue": winners["revenue"].round(4),  # 4-decimal-exact sum: lossless
+    }).sort_values("s_suppkey", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# Q19's OR-of-ANDs predicate bank: (brand, max size, qty lo, qty hi);
+# sizes start at 1, quantities are inclusive bounds
+_Q19_RULES = (
+    ("Brand#12", 20, 1.0, 20.0),
+    ("Brand#23", 30, 10.0, 35.0),
+    ("Brand#34", 40, 20.0, 50.0),
+)
+
+
+def disjunctive_predicate_revenue(sf_dir: str):
+    """revenue, n_items (one row): discounted revenue of lineitems
+    matching ANY of three (brand, size-range, quantity-range)
+    conjunctions — TPC-H Q19's shape: a disjunction of multi-table
+    conjunctions, where no single predicate can push into either scan
+    and the join must evaluate the OR across both sides' attributes.
+
+    Scale shape: the part attributes needed by the predicate (brand id,
+    size) broadcast once as flat arrays keyed by sorted partkey
+    (dimension-sized); each lineitem batch resolves its partkeys with
+    one ``np.searchsorted`` and evaluates the OR-of-ANDs fully
+    vectorized; output partials are two scalars per batch."""
+    from ._util import arrow_out
+
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(_p(sf_dir, "part"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    pk = part.column("p_partkey").to_numpy()
+    order = np.argsort(pk)
+    brands = np.asarray(part.column("p_brand").to_pylist())[order]
+    brand_ids = np.full(len(brands), -1, dtype=np.int8)
+    for i, (b, _, _, _) in enumerate(_Q19_RULES):
+        brand_ids[brands == b] = i
+    attrs_ref = ray.put((
+        pk[order],
+        brand_ids,
+        part.column("p_size").to_numpy().astype("int64")[order],
+    ))
+
+    items = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame):
+        keys, bid, size = ray.get(attrs_ref)
+        idx = np.searchsorted(keys, df["l_partkey"].to_numpy())
+        b, s = bid[idx], size[idx]
+        q = df["l_quantity"].to_numpy()
+        keep = np.zeros(len(df), dtype=bool)
+        for i, (_, max_size, qlo, qhi) in enumerate(_Q19_RULES):
+            keep |= (b == i) & (s <= max_size) & (q >= qlo) & (q <= qhi)
+        rev = (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
+        return arrow_out(pd.DataFrame({
+            "r": [float(rev[keep].sum())], "n": [int(keep.sum())]
+        }))
+
+    parts = items.map_batches(partial, batch_format="pandas").to_pandas()
+    return pa.table({
+        "revenue": [round(float(parts["r"].sum()), 4)],  # 4-decimal-exact sum: lossless
+        "n_items": [int(parts["n"].sum())],
+    })

@@ -134,6 +134,9 @@ _TAIL_ORACLED_OK = {
     "large_order_customers",
     "idle_rich_customers",
     "order_count_distribution",
+    "nation_trade_volume",
+    "top_supplier_revenue",
+    "disjunctive_predicate_revenue",
 }
 
 

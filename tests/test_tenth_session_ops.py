@@ -13,7 +13,7 @@ SF_DIR = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     con = duckdb.connect()
-    for t in ["customer", "orders", "lineitem", "part", "nation"]:
+    for t in ["customer", "orders", "lineitem", "part", "nation", "supplier"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{SF_DIR}/{t}.parquet')"
@@ -95,3 +95,60 @@ def test_order_count_distribution_accounts_for_every_customer(ray_session, con):
     # partition of the customer set; counts weighted by k re-sum to |orders|
     assert got["n_customers"].sum() == n_cust
     assert (got["n_orders"] * got["n_customers"]).sum() == n_orders
+
+
+def test_nation_trade_volume_excludes_domestic_and_covers_total(ray_session, con):
+    from ocr_corrector_ray.pipelines.analytics import nation_trade_volume
+
+    got = nation_trade_volume(SF_DIR).to_pandas()
+    assert (got["supp_nation"] != got["cust_nation"]).all()
+    # cross-border + domestic = all shipped revenue (recomputed serially)
+    total = con.execute(
+        """SELECT sum(l.l_extendedprice * (1 - l.l_discount))
+           FROM lineitem l
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+           JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+           WHERE n1.n_name <> n2.n_name"""
+    ).fetchone()[0]
+    assert got["revenue"].sum() == pytest.approx(total, rel=1e-9)
+
+
+def test_top_supplier_is_the_argmax(ray_session, con):
+    from ocr_corrector_ray.pipelines.analytics import top_supplier_revenue
+
+    got = top_supplier_revenue(SF_DIR).to_pandas()
+    exp = con.execute(
+        """SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1997-07-01'
+           GROUP BY 1 ORDER BY rev DESC LIMIT 2"""
+    ).df()
+    assert len(got) >= 1
+    assert got["s_suppkey"].iloc[0] == exp["l_suppkey"].iloc[0]
+    # the winner strictly beats the runner-up (no hidden tie ambiguity)
+    assert exp["rev"].iloc[0] > exp["rev"].iloc[1]
+    assert got["total_revenue"].iloc[0] == pytest.approx(exp["rev"].iloc[0])
+
+
+def test_disjunctive_predicate_matches_per_rule_union(ray_session, con):
+    from ocr_corrector_ray.pipelines.analytics import (
+        _Q19_RULES,
+        disjunctive_predicate_revenue,
+    )
+
+    got = disjunctive_predicate_revenue(SF_DIR).to_pandas()
+    # rules are brand-disjoint, so the union count is the sum of the
+    # per-rule counts — recompute each conjunction independently
+    n = 0
+    for brand, max_size, qlo, qhi in _Q19_RULES:
+        n += con.execute(
+            f"""SELECT count(*) FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE p.p_brand = '{brand}' AND p.p_size BETWEEN 1 AND {max_size}
+                  AND l.l_quantity BETWEEN {qlo} AND {qhi}"""
+        ).fetchone()[0]
+    assert int(got["n_items"].iloc[0]) == n > 0
