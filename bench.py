@@ -388,6 +388,14 @@ def main():
             except (OSError, json.JSONDecodeError):
                 record = {}
         res["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+        # append-only per pair: the head is the LATEST run, every prior
+        # run for the same pair stays under prior_runs — a repeat can
+        # never silently erase an earlier measurement from the record
+        prior = record.get(key)
+        if prior is not None:
+            history = prior.pop("prior_runs", [])
+            history.append(prior)
+            res["prior_runs"] = history
         record[key] = res
         with open(SCALING_RECORD, "w") as f:
             json.dump(record, f, indent=1)
