@@ -132,6 +132,12 @@ def _approx_distinct_tokens(sf_dir: str):
     return approx_distinct_tokens(sf_dir)
 
 
+def _approx_distinct_users_by_type(sf_dir: str):
+    from ocr_corrector_ray.pipelines.sketches import approx_distinct_users_by_type
+
+    return approx_distinct_users_by_type(sf_dir)
+
+
 def _heavy_hitter_tokens(sf_dir: str):
     from ocr_corrector_ray.pipelines.sketches import heavy_hitter_tokens
 
@@ -443,6 +449,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_signatures": dedup.minhash_signatures,  # list-shaped
         "embedding_neardup": dedup.embedding_neardup,  # LSH recall < 1
         "approx_distinct_tokens": _approx_distinct_tokens,
+        # per-group mergeable sketch (HLL as each group's aggregation
+        # state); exact twin event_type_distinct_users is the oracle in
+        # tests (estimates are tolerance-tested, not hash-comparable)
+        "approx_distinct_users_by_type": _approx_distinct_users_by_type,
         "heavy_hitter_tokens": _heavy_hitter_tokens,
         "approx_quantiles_value": _approx_quantiles_value,
         "bloom_decontaminate_docs": textstats.bloom_decontaminate_docs,
@@ -486,6 +496,7 @@ def oracle_sql() -> dict[str, str]:
     - ``ivf_ann_topk`` (approximate, recall-bound-tested),
       ``kmeans_embeddings`` (iterative), ``pca_embeddings``
       (eigensolve — numpy-pinned in tests), ``approx_distinct_tokens`` /
+      ``approx_distinct_users_by_type`` /
       ``heavy_hitter_tokens`` / ``approx_quantiles_value`` (sketches —
       estimates are tolerance/rank-error-tested, winners pinned vs
       exact in tests/), ``bloom_decontaminate_docs`` (Bloom membership:

@@ -272,3 +272,43 @@ def approx_quantiles_value(sf_dir: str, qs=(0.5, 0.9, 0.99), delta: int = 200):
     return ray.data.from_items(
         [{"q": float(q), "value_est": merged.quantile(float(q))} for q in qs]
     )
+
+
+def approx_distinct_users_by_type(sf_dir: str, p: int = 12):
+    """Per-event-type approximate distinct-user counts — the PER-GROUP
+    mergeable-sketch pattern (one HLL as the aggregation STATE of each
+    group), vs ``approx_distinct_tokens``'s single global sketch.
+
+    Scale shape: each batch emits ONE serialized HLL row per event type
+    seen in the batch (|types| × 4 KiB, never user ids), the driver
+    merges per type (group count is dimension-bounded), and the exact
+    twin ``event_type_distinct_users`` is the oracle in tests.  At
+    100 TB this replaces the exact twin's distinct-key exchange with a
+    constant-size register OR."""
+    import os
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+
+    def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for etype, g in df.groupby("event_type", sort=False):
+            hll = HyperLogLog(p)
+            users = np.unique(g["user_id"].to_numpy(dtype="int64"))
+            hll.add_hashes(_hash_items([str(u) for u in users]))
+            rows.append({"event_type": etype, "sketch": hll.serialize()})
+        return pd.DataFrame(rows, columns=["event_type", "sketch"])
+
+    partials = ds.map_batches(sketch_batch, batch_format="pandas").take_all()
+    merged: dict[str, HyperLogLog] = {}
+    for row in partials:
+        h = HyperLogLog.deserialize(row["sketch"], p)
+        t = row["event_type"]
+        merged[t] = merged[t].merge(h) if t in merged else h
+    out = sorted(
+        (t, int(round(h.estimate()))) for t, h in merged.items()
+    )
+    return ray.data.from_items(
+        [{"event_type": t, "n_users_approx": n} for t, n in out]
+    )

@@ -152,3 +152,24 @@ def test_disjunctive_predicate_matches_per_rule_union(ray_session, con):
                   AND l.l_quantity BETWEEN {qlo} AND {qhi}"""
         ).fetchone()[0]
     assert int(got["n_items"].iloc[0]) == n > 0
+
+
+def test_grouped_hll_matches_exact_within_error(ray_session, con):
+    """Per-type HLL estimate within ~3 sigma (1.04/sqrt(2^12) ~= 1.6%) of
+    the exact distinct-user count, for every event type."""
+    from ocr_corrector_ray.pipelines.sketches import approx_distinct_users_by_type
+
+    got = {
+        r["event_type"]: r["n_users_approx"]
+        for r in approx_distinct_users_by_type(SF_DIR).take_all()
+    }
+    con.execute(
+        f"CREATE VIEW IF NOT EXISTS events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    exact = dict(con.execute(
+        "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1"
+    ).fetchall())
+    assert set(got) == set(exact)
+    for t, n in exact.items():
+        assert abs(got[t] - n) / n < 0.05, (t, got[t], n)
