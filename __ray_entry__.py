@@ -445,6 +445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "ivf_ann_topk": analytics.ivf_ann_topk,  # approximate: recall-bound-tested
         "kmeans_embeddings": analytics.kmeans_embeddings,  # iterative
+        "pagerank_user_types": analytics.pagerank_user_types,  # iterative
         "pca_embeddings": analytics.pca_embeddings,  # eigensolve: numpy-pinned
         "minhash_signatures": dedup.minhash_signatures,  # list-shaped
         "embedding_neardup": dedup.embedding_neardup,  # LSH recall < 1
@@ -494,7 +495,9 @@ def oracle_sql() -> dict[str, str]:
       IS oracled as ``embedding_cosine_pairs`` (and a recall test pins
       neardup pairs as a subset of the exact pairs).
     - ``ivf_ann_topk`` (approximate, recall-bound-tested),
-      ``kmeans_embeddings`` (iterative), ``pca_embeddings``
+      ``kmeans_embeddings`` / ``pagerank_user_types`` (iterative —
+      PageRank is pinned against a dense numpy power iteration in
+      tests), ``pca_embeddings``
       (eigensolve — numpy-pinned in tests), ``approx_distinct_tokens`` /
       ``approx_distinct_users_by_type`` /
       ``heavy_hitter_tokens`` / ``approx_quantiles_value`` (sketches —

@@ -4030,3 +4030,126 @@ def disjunctive_predicate_revenue(sf_dir: str):
         "revenue": [round(float(parts["r"].sum()), 4)],  # 4-decimal-exact sum: lossless
         "n_items": [int(parts["n"].sum())],
     })
+
+
+def _pr_type_node(t: str) -> int:
+    """Stable negative int64 node id for an event-type vertex (user
+    vertices keep their non-negative user_id)."""
+    h = int.from_bytes(
+        hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big"
+    )
+    return -1 - (h >> 1)
+
+
+def pagerank_user_types(sf_dir: str, iters: int = 15, damping: float = 0.85,
+                        num_buckets: int | None = None):
+    """node, rank: PageRank over the bipartite user↔event-type
+    interaction graph (an edge per DISTINCT (user, type) pair) — the
+    iterative broadcast-free matvec pattern: every round attaches the
+    current rank vector to the edge list by a hash-partitioned lookup
+    join and re-aggregates per destination.  Complements kmeans
+    (iterative BROADCAST state) and labelprop (iterative min-semiring):
+    this is the sum-semiring with per-node normalization.
+
+    Scale shape: edges dedup per batch (combiner) then globally in one
+    grouped exchange (the edge set is bounded by |users|×|types|, never
+    by event volume); degrees compute once; each of the ``iters`` rounds
+    is one ``_bucketed_attach`` + one grouped sum — O(iters) bounded
+    exchanges, the rank vector never lands on the driver until the
+    node-sized output.  The type-name reverse map is read from the
+    deduped edge table, NOT a second corpus scan."""
+    from ._agg import grouped_agg
+    from ._util import arrow_out, default_num_buckets
+    from .dedup import _bucketed_attach
+
+    num_buckets = num_buckets or default_num_buckets()
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["user_id", "event_type"]
+    )
+
+    def edge_batch(df: pd.DataFrame):
+        g = df[["user_id", "event_type"]].drop_duplicates()
+        return arrow_out(pd.DataFrame({
+            "a": g["user_id"].to_numpy(dtype="int64"),
+            "b": [_pr_type_node(t) for t in g["event_type"]],
+            "type_str": g["event_type"].to_numpy(),
+        }), null_casts={"type_str": pa.string()})
+
+    edges = grouped_agg(
+        ds.map_batches(edge_batch, batch_format="pandas"),
+        ["a", "b", "type_str"], {"n": ("a", "size")},
+        num_partitions=num_buckets,
+    ).drop_columns(["n"]).materialize()
+
+    # reverse map for the output, from the BOUNDED edge table
+    type_names = {
+        int(r["b"]): str(r["type_str"])
+        for r in edges.select_columns(["b", "type_str"]).take_all()
+    }
+
+    def sym(df: pd.DataFrame):
+        a = df["a"].to_numpy(dtype="int64")
+        b = df["b"].to_numpy(dtype="int64")
+        return arrow_out(pd.DataFrame({
+            "src": np.concatenate([a, b]), "dst": np.concatenate([b, a]),
+        }))
+
+    sym_edges = edges.map_batches(sym, batch_format="pandas").materialize()
+    degrees = grouped_agg(
+        sym_edges, ["src"], {"deg": ("dst", "size")},
+        num_partitions=num_buckets,
+    ).materialize()
+    n_nodes = degrees.count()
+
+    # out-degree rides on the edge list once; ranks re-attach per round
+    edges_deg = _bucketed_attach(
+        sym_edges, degrees, key_col="src", src_key="src", src_val="deg",
+        out_col="src_deg", num_buckets=num_buckets,
+        pair_fill={"src": -(1 << 62), "dst": -(1 << 62)}, val_type=pa.int64(),
+    ).materialize()
+
+    r0 = 1.0 / n_nodes
+    ranks = degrees.map_batches(
+        lambda df: arrow_out(pd.DataFrame({
+            "src": df["src"].to_numpy(dtype="int64"),
+            "rank": np.full(len(df), r0),
+        })),
+        batch_format="pandas",
+    ).materialize()
+    base = (1.0 - damping) / n_nodes
+
+    def contrib(df: pd.DataFrame):
+        return arrow_out(pd.DataFrame({
+            "dst": df["dst"].to_numpy(dtype="int64"),
+            "c": df["src_rank"].to_numpy() / df["src_deg"].to_numpy(),
+        }))
+
+    for _ in range(iters):
+        attached = _bucketed_attach(
+            edges_deg, ranks, key_col="src", src_key="src", src_val="rank",
+            out_col="src_rank", num_buckets=num_buckets,
+            pair_fill={"src": -(1 << 62), "dst": -(1 << 62), "src_deg": 0},
+            val_type=pa.float64(),
+        )
+        sums = grouped_agg(
+            attached.map_batches(contrib, batch_format="pandas"),
+            ["dst"], {"s": ("c", "sum")}, num_partitions=num_buckets,
+        )
+        ranks = sums.map_batches(
+            lambda df: arrow_out(pd.DataFrame({
+                "src": df["dst"].to_numpy(dtype="int64"),
+                "rank": base + damping * df["s"].to_numpy(),
+            })),
+            batch_format="pandas",
+        ).materialize()
+
+    def name_nodes(df: pd.DataFrame):
+        ids = df["src"].to_numpy(dtype="int64")
+        names = [
+            f"t:{type_names[int(i)]}" if i < 0 else f"u:{int(i)}" for i in ids
+        ]
+        return arrow_out(pd.DataFrame({
+            "node": names, "rank": df["rank"].round(9),
+        }), null_casts={"node": pa.string()})
+
+    return ranks.map_batches(name_nodes, batch_format="pandas")

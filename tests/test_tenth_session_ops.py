@@ -173,3 +173,48 @@ def test_grouped_hll_matches_exact_within_error(ray_session, con):
     assert set(got) == set(exact)
     for t, n in exact.items():
         assert abs(got[t] - n) / n < 0.05, (t, got[t], n)
+
+
+def test_pagerank_matches_dense_numpy(ray_session, con):
+    """Distributed PageRank == dense numpy power iteration on the same
+    bipartite edge set (same iteration count, same init, same damping)."""
+    import numpy as np
+
+    from ocr_corrector_ray.pipelines.analytics import (
+        _pr_type_node,
+        pagerank_user_types,
+    )
+
+    got = pagerank_user_types(SF_DIR, iters=15).to_pandas()
+    con.execute(
+        f"CREATE VIEW IF NOT EXISTS events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    edges = con.execute(
+        "SELECT DISTINCT user_id, event_type FROM events"
+    ).fetchall()
+    pairs = {(int(u), _pr_type_node(t)) for u, t in edges}
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for a, b in pairs:
+        A[idx[b], idx[a]] = 1.0
+        A[idx[a], idx[b]] = 1.0
+    deg = A.sum(axis=0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(15):
+        r = (1 - 0.85) / n + 0.85 * (A @ (r / deg))
+    assert len(got) == n
+    # ranks form a probability distribution and match per node
+    assert got["rank"].sum() == pytest.approx(1.0, abs=1e-6)
+    for _, row in got.iterrows():
+        name = row["node"]
+        node = (
+            _pr_type_node(name[2:]) if name.startswith("t:") else int(name[2:])
+        )
+        assert row["rank"] == pytest.approx(r[idx[node]], abs=1e-9), name
+    # type hubs out-rank individual users in a bipartite graph this shape
+    tmin = got[got["node"].str.startswith("t:")]["rank"].min()
+    umax = got[got["node"].str.startswith("u:")]["rank"].max()
+    assert tmin > umax
