@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "hashed_ngram_quality",  # fastText-style hashed-bigram classifier, no exchange (r5 s7)
     "returned_item_ranking",  # TPC-H Q10 shape: join + broadcast dim + exact top-k (r5 s7)
     "cross_source_overlap",  # cross-crawl contamination matrix, one bucketed exchange (r5 s8)
+    "nation_trade_volume",  # TPC-H Q7 shape: two chained fact exchanges (r5 s10)
 ]
 HEADLINE = "ocr_correct"
 
